@@ -1,0 +1,97 @@
+"""Text analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions — defined once here so the Spark query
+and any external SQL oracle implement the *same* documented rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deliberately small, documented stopword list — the lang-ID heuristic
+# is "fraction of tokens that are English stopwords"
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
+                "it", "that", "for", "on", "with", "as", "at", "by"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: word-piece + digit + punctuation
+    splits via one regexp pass (a cheap BPE proxy for budget
+    estimation: every ≤4-char alnum chunk and every punctuation mark
+    counts as one token)."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]{1,4}|\d|[^\sa-z\d]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    total = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0),
+                        lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs,
+    normal word lengths, some stopwords, low punctuation density.
+    Deterministic, documented, SQL-reproducible."""
+    n = token_count(text).cast("double")
+    len_score = F.least(n / 50.0, F.lit(1.0))
+    wl = mean_word_length(text)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
+    sw_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5.0)
+    return F.round((len_score + wl_score + sw_score + punct_pen) / 4.0, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: 'en' when the stopword ratio clears 2%,
+    else 'unknown'. (Real n-gram models plug in the same shape: a
+    broadcast table of n-gram→lang weights + a groupBy argmax.)"""
+    return F.when(stopword_ratio(text) > 0.02, F.lit("en")).otherwise(
+        F.lit("unknown"))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Stable content fingerprint (hex md5 of normalized text)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def rolling_hash(text: Column, *, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over bytes: h = Σ b_i · base^i mod p,
+    computed with F.aggregate — the order-sensitive fingerprint the
+    md5 variant can't give (supports incremental windows at scale)."""
+    bytes_arr = F.transform(
+        F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    state = F.aggregate(
+        bytes_arr,
+        F.struct(F.lit(0).cast("long").alias("h"),
+                 F.lit(1).cast("long").alias("p")),
+        lambda acc, b: F.struct(
+            F.pmod(acc["h"] + b * acc["p"], F.lit(mod)).alias("h"),
+            F.pmod(acc["p"] * base, F.lit(mod)).alias("p")),
+        lambda acc: acc["h"])
+    return state

@@ -1,0 +1,335 @@
+"""Per-queue-id document assembly (sessionization).
+
+The reference folds each batch's parsed lines into one nested document
+per queue id via an in-memory hash map + per-program merge rules
+(/root/reference/lib/logship.js:314-335, lib/postfix-doc.js:147-292).
+Here the same ordered, non-commutative fold runs distributed:
+
+    parsed.groupBy("qid").applyInPandas(fold, DOC_SCHEMA)
+
+plus a **salted two-phase variant** for hot keys (high-volume relay
+hosts / duplicate urls): phase 1 folds each (qid, salt) subgroup into
+partial candidate-event lists tagged with line numbers; phase 2 merges
+partials per qid, re-sorting by line number so ordering-sensitive rules
+(first-`queued`-wins, exact-duplicate suppression, last-hoist-wins)
+apply identically to the unsalted fold. Tests assert salted ≡ unsalted.
+
+Merge-rule semantics (each cites the reference):
+- qmgr `removed` → isFinal + {date, action:'removed'} event
+  (postfix-doc.js:196-199); `expired, returned` status → action
+  'expired' (:203-207); other status → parse-error drop (:209);
+  else action 'queued', hoist from/size/nrcpt, null sender → ''
+  (:214-222)
+- smtp: hoist delay/delays to root, event keeps the rest (:184-193)
+- cleanup: copy message-id/resent-message-id, **no event** (:153-157)
+- scache: silently ignore `statistics` lines, else drop (:159-162)
+- pickup: doc.uid, no event (:163-165)
+- error → action 'error'; bounce → 'bounced'; local passes (:166-173)
+- postsuper: `removed` → isFinal; event {date, action: msg} (:225-231)
+- rmilter/rspamd: queue-id hoisted at parse; synthesized actions
+  (:233-269)
+- addEvent: first-`queued`-wins, strip qid/host/prog, exact-duplicate
+  suppression, ordered append (:271-292). The reference's duplicate
+  check is JSON.stringify equality (key-insertion-order sensitive); we
+  canonicalize to sorted-key tuples — equal for identically-shaped
+  events, deterministic always.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BooleanType, LongType, StringType,
+                               StructField, StructType)
+
+EVENT_FIELDS = [
+    "date", "action", "from", "to", "relay", "delay", "delays", "dsn",
+    "status", "message", "msg", "score", "spam_scan", "virus_scan", "dkim",
+]
+
+EVENT_TYPE = StructType([StructField(f, StringType()) for f in EVENT_FIELDS])
+
+DOC_FIELDS = [
+    StructField("qid", StringType(), False),
+    StructField("host", StringType()),
+    StructField("date", StringType()),
+    StructField("isFinal", BooleanType()),
+    StructField("from", StringType()),
+    StructField("size", StringType()),
+    StructField("nrcpt", StringType()),
+    StructField("uid", StringType()),
+    StructField("delay", StringType()),
+    StructField("delays", StringType()),
+    StructField("message-id", StringType()),
+    StructField("resent-message-id", StringType()),
+    StructField("events", ArrayType(EVENT_TYPE)),
+    StructField("n_events", LongType()),
+]
+DOC_SCHEMA = StructType(DOC_FIELDS)
+
+_HOIST_SMTP = ("delay", "delays")
+_HOIST_QMGR = ("from", "size", "nrcpt")
+_COPY_CLEANUP = ("message-id", "resent-message-id")
+
+# partial (phase-1) schema for the salted fold: candidate events keep
+# their line_no; root-hoist candidates keep the line_no that set them
+_PARTIAL_EVENT_TYPE = StructType(
+    [StructField("line_no", LongType())]
+    + [StructField(f, StringType()) for f in EVENT_FIELDS]
+)
+_PARTIAL_SCHEMA = StructType([
+    StructField("qid", StringType(), False),
+    StructField("min_line_no", LongType()),
+    StructField("host", StringType()),
+    StructField("date", StringType()),
+    StructField("isFinal", BooleanType()),
+    StructField("root_sets", ArrayType(StructType([
+        StructField("line_no", LongType()),
+        StructField("field", StringType()),
+        StructField("value", StringType()),
+    ]))),
+    StructField("events", ArrayType(_PARTIAL_EVENT_TYPE)),
+])
+
+
+def _event_key(e: dict) -> tuple:
+    return tuple(sorted((k, v) for k, v in e.items() if v is not None))
+
+
+def _add_event(events: list[dict], e: dict) -> None:
+    """Reference addEvent: first-queued-wins + exact-dup suppression."""
+    e = {k: v for k, v in e.items()
+         if v is not None and k not in ("qid", "host", "prog")}
+    if e.get("action") == "queued":
+        if any(ev.get("action") == "queued" for ev in events):
+            return
+    key = _event_key(e)
+    for ev in events:
+        if _event_key(ev) == key:
+            return
+    events.append(e)
+
+
+def _dispatch(doc: dict, lo: dict, events: list[dict]) -> None:
+    """Apply one parsed line to a doc (reference update(),
+    lib/postfix-doc.js:147-182)."""
+    prog = lo.get("prog") or ""
+    if prog == "postfix/qmgr":
+        if lo.get("msg") == "removed":
+            doc["isFinal"] = True
+            _add_event(events, {"date": lo.get("date"), "action": "removed"})
+            return
+        if lo.get("status"):
+            if "expired, returned" in lo["status"]:
+                lo = dict(lo)
+                lo["action"] = "expired"
+                lo.pop("status", None)
+                _add_event(events, _event_fields_only(lo))
+            return  # other statuses: parse-error drop
+        lo = dict(lo)
+        lo["action"] = "queued"
+        if lo.get("from") is None:
+            lo["from"] = ""  # null sender
+        for f in _HOIST_QMGR:
+            doc[f] = lo.pop(f, None)
+        _add_event(events, _event_fields_only(lo))
+        return
+    if prog == "postfix/smtp":
+        lo = dict(lo)
+        for f in _HOIST_SMTP:
+            if lo.get(f) is not None:
+                doc[f] = lo.pop(f)
+        _add_event(events, _event_fields_only(lo))
+        return
+    if prog == "postfix/cleanup":
+        for f in _COPY_CLEANUP:
+            if lo.get(f) is not None:
+                doc[f] = lo[f]
+        return
+    if prog == "postfix/scache":
+        return  # statistics lines ignored; others are parse errors
+    if prog == "postfix/pickup":
+        doc["uid"] = lo.get("uid")
+        return
+    if prog == "postfix/postsuper":
+        if lo.get("msg") == "removed":
+            doc["isFinal"] = True
+        _add_event(events, {"date": lo.get("date"), "action": lo.get("msg")})
+        return
+    if prog in ("postfix/error", "postfix/bounce"):
+        lo = dict(lo)
+        lo["action"] = "error" if prog == "postfix/error" else "bounced"
+        _add_event(events, _event_fields_only(lo))
+        return
+    if prog == "postfix/local":
+        _add_event(events, _event_fields_only(lo))
+        return
+    if prog.startswith("rmilter") or prog.startswith("rspamd"):
+        lo = dict(lo)
+        if lo.get("spam_scan") is not None:
+            lo["action"] = f"rmilter_spam_{lo['spam_scan']}"
+        if lo.get("virus_scan") is not None:
+            lo["action"] = f"rmilter_virus_{lo['virus_scan']}"
+        if lo.get("dkim") is not None:
+            lo["action"] = f"rmilter_dkim_{lo['dkim']}"
+        if prog.startswith("rspamd") and lo.get("action") is None and (
+                lo.get("score") is not None):
+            lo["action"] = "rspamd_scan_result"
+        if lo.get("raw_msg") is not None:
+            lo["msg"] = lo["raw_msg"]
+        _add_event(events, _event_fields_only(lo))
+        return
+    # unknown postfix subprogram: generic event append (reference
+    # default switch fall-through, lib/postfix-doc.js:181)
+    _add_event(events, _event_fields_only(lo))
+
+
+def _event_fields_only(lo: dict) -> dict:
+    return {k: lo.get(k) for k in EVENT_FIELDS if lo.get(k) is not None}
+
+
+def fold_lines(rows: Iterable[dict], seed: Optional[dict] = None) -> Optional[dict]:
+    """Pure-Python ordered fold: parsed lines (already sorted) → doc.
+
+    ``seed`` is a previously-committed doc (the state-continuation path,
+    reference lib/logship.js:295-306); its events come first.
+    Also serves as the test oracle.
+    """
+    rows = list(rows)
+    doc: Optional[dict] = None
+    events: list[dict] = []
+    if seed is not None:
+        doc = {k: seed.get(k) for k in (
+            "qid", "host", "date", "isFinal", "from", "size", "nrcpt", "uid",
+            "delay", "delays", "message-id", "resent-message-id")}
+        events = [dict(e) for e in (seed.get("events") or [])]
+    for lo in rows:
+        if doc is None:
+            doc = {"qid": lo["qid"], "host": lo.get("host"),
+                   "date": lo.get("date"), "isFinal": False}
+        _dispatch(doc, lo, events)
+    if doc is None:
+        return None
+    doc["events"] = events
+    doc["n_events"] = len(events)
+    return doc
+
+
+def _doc_to_row(doc: dict) -> dict:
+    row = {f.name: doc.get(f.name) for f in DOC_FIELDS if f.name != "events"}
+    row["events"] = [
+        {f: e.get(f) for f in EVENT_FIELDS} for e in doc["events"]]
+    return row
+
+
+def _order_columns(pdf: pd.DataFrame, order_cols: list[str]) -> pd.DataFrame:
+    return pdf.sort_values([c for c in order_cols if c in pdf.columns],
+                           kind="mergesort")
+
+
+def assemble(parsed: DataFrame, order_cols: Optional[list[str]] = None) -> DataFrame:
+    """parsed lines → one doc per qid (single-phase fold).
+
+    The groupBy is the pipeline's only wide dependency; Catalyst plans
+    one hash exchange on qid. Group-local work is Arrow-batched pandas.
+    """
+    order_cols = order_cols or ["batch_seq", "line_no"]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _order_columns(pdf, order_cols)
+        rows = pdf.astype(object).where(pdf.notna(), None).to_dict("records")
+        doc = fold_lines(rows)
+        if doc is None:
+            return pd.DataFrame(columns=[f.name for f in DOC_FIELDS])
+        return pd.DataFrame([_doc_to_row(doc)])
+
+    return parsed.groupBy("qid").applyInPandas(fold, DOC_SCHEMA)
+
+
+# ------------------------------------------------------------------ salted
+def assemble_salted(
+    parsed: DataFrame,
+    *,
+    n_salts: int = 8,
+    order_cols: Optional[list[str]] = None,
+    line_no_col: str = "line_no",
+) -> DataFrame:
+    """Two-phase skew-resistant fold: (qid, salt) partials → merge.
+
+    Phase 1 runs rule dispatch per salted subgroup, emitting candidate
+    events tagged with line numbers and root-set records tagged with the
+    setting line. Phase 2 merges partials per qid: events re-sorted by
+    line_no then re-passed through addEvent (so first-queued-wins and
+    dedup see the global order), root hoists take the max-line setter,
+    host/date take the min-line partial. Result is bit-identical to
+    :func:`assemble`; the exchange for phase 1 is on (qid, salt), so a
+    hot qid spreads over ``n_salts`` tasks.
+    """
+    order_cols = order_cols or ["batch_seq", line_no_col]
+    salted = parsed.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(line_no_col)), F.lit(n_salts)).cast("int"))
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _order_columns(pdf, order_cols)
+        rows = pdf.astype(object).where(pdf.notna(), None).to_dict("records")
+        qid = rows[0]["qid"]
+        min_line = int(rows[0][line_no_col])
+        host, date = rows[0].get("host"), rows[0].get("date")
+        is_final = False
+        root_sets: list[dict] = []
+        events: list[dict] = []
+        for lo in rows:
+            doc: dict = {}
+            evs: list[dict] = []
+            _dispatch(doc, lo, evs)
+            ln = int(lo[line_no_col])
+            if doc.pop("isFinal", False):
+                is_final = True
+            for k, v in doc.items():
+                if k in ("qid",):
+                    continue
+                root_sets.append({"line_no": ln, "field": k,
+                                  "value": None if v is None else str(v)})
+            for e in evs:
+                rec = {f: e.get(f) for f in EVENT_FIELDS}
+                rec["line_no"] = ln
+                events.append(rec)
+        return pd.DataFrame([{
+            "qid": qid, "min_line_no": min_line, "host": host, "date": date,
+            "isFinal": is_final, "root_sets": root_sets, "events": events,
+        }])
+
+    partials = salted.groupBy("qid", "_salt").applyInPandas(
+        partial, _PARTIAL_SCHEMA)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("min_line_no", kind="mergesort")
+        first = pdf.iloc[0]
+        doc = {"qid": first["qid"], "host": first["host"],
+               "date": first["date"], "isFinal": bool(pdf["isFinal"].any())}
+        # root hoists: last (max line_no) setter wins, as sequential
+        # dispatch overwrites on every occurrence
+        sets: list[dict] = []
+        for rs in pdf["root_sets"]:
+            if rs is not None:
+                sets.extend(list(rs))  # numpy array from Arrow
+        sets.sort(key=lambda r: r["line_no"])
+        for r in sets:
+            doc[r["field"]] = r["value"]
+        # events: global line order, then the ordered addEvent pass
+        cand: list[dict] = []
+        for evs in pdf["events"]:
+            if evs is not None:
+                cand.extend(list(evs))
+        cand.sort(key=lambda e: e["line_no"])
+        events: list[dict] = []
+        for e in cand:
+            _add_event(events, {f: e.get(f) for f in EVENT_FIELDS})
+        doc["events"] = events
+        doc["n_events"] = len(events)
+        return pd.DataFrame([_doc_to_row(doc)])
+
+    return partials.groupBy("qid").applyInPandas(merge, DOC_SCHEMA)

@@ -1,0 +1,138 @@
+"""Externalized accumulated-doc state — the Elasticsearch analog.
+
+The reference keeps **no** long-lived in-process state: every batch
+re-fetches matching docs from ES by id (`terms _id`, scoped to the
+batch's date-suffixed indices — /root/reference/lib/logship.js:259-312)
+and bulk-upserts the merged docs back (:337-393, `create` fails
+harmlessly on replay, `doc_as_upsert` + `detect_noop` make updates
+idempotent). That design is the key scaling insight we keep: executor
+state stays bounded by the batch regardless of total history.
+
+Spark design:
+- state lives in a parquet table partitioned by ``(sink, route_date)``
+  (Iceberg-shaped layout; at production scale the same code targets an
+  Iceberg table and the upsert becomes ``MERGE INTO``)
+- lookup = inner equi-join of the state table (partition-pruned to the
+  batch's distinct dates, mirroring uniqYMDs) with the batch's distinct
+  qids — the J1 lookup join
+- continuation = **cogrouped fold**: state docs ⊔ batch lines by qid,
+  seeding :func:`~..operators.assemble.fold_lines` with the committed
+  doc so events append in cross-batch order
+- upsert = dynamic partition overwrite scoped to the touched
+  ``(sink, route_date)`` partitions: incoming docs replace same-qid
+  rows, untouched rows in those partitions are carried over, all other
+  partitions are never rewritten
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .assemble import DOC_FIELDS, DOC_SCHEMA, EVENT_FIELDS, fold_lines, _doc_to_row
+
+
+class StateStore:
+    """Parquet/Iceberg-layout doc store keyed by qid."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def exists(self, spark: SparkSession) -> bool:
+        sc = spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(self.path)  # type: ignore[attr-defined]
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+        return bool(fs.exists(hpath))
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        if not self.exists(spark):
+            return None
+        return spark.read.parquet(self.path)
+
+    def lookup(self, spark: SparkSession, keys: DataFrame,
+               dates: Optional[list[str]] = None) -> Optional[DataFrame]:
+        """Committed docs matching the batch's qids.
+
+        ``dates`` prunes state partitions exactly like the reference's
+        uniqYMD index list confines the ES search (lib/logship.js:263-279).
+        """
+        state = self.read(spark)
+        if state is None:
+            return None
+        if dates:
+            state = state.filter(F.col("route_date").isin(dates))
+        return state.join(F.broadcast(keys.select("qid").distinct()),
+                          "qid", "inner")
+
+    def upsert(self, spark: SparkSession, incoming: DataFrame) -> None:
+        """MERGE-equivalent: replace-by-qid within touched partitions.
+
+        Uses dynamic partition overwrite so only (sink, route_date)
+        partitions present in ``incoming`` are rewritten — the scan and
+        rewrite cost scales with the batch's day-spread, not with total
+        state size. Requires
+        ``spark.sql.sources.partitionOverwriteMode=dynamic``.
+        """
+        state = self.read(spark)
+        if state is not None:
+            touched = [r["route_date"] for r in
+                       incoming.select("route_date").distinct().collect()]
+            carry = (state.filter(F.col("route_date").isin(touched))
+                     .join(incoming.select("qid").distinct(), "qid",
+                           "left_anti"))
+            incoming = incoming.unionByName(carry)
+        (incoming.write.mode("overwrite")
+         .partitionBy("sink", "route_date")
+         .parquet(self.path))
+
+
+def merge_with_state(
+    parsed: DataFrame,
+    state_docs: Optional[DataFrame],
+    order_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Cogrouped continuation fold: committed docs ⊔ new lines by qid.
+
+    Equivalent to the reference's populatePfdocsFromEs → updatePfDocs
+    sequence: a qid with a committed doc continues from it; a fresh qid
+    starts from the template. One exchange on qid for each side.
+    """
+    order_cols = order_cols or ["batch_seq", "line_no"]
+
+    if state_docs is None:
+        from .assemble import assemble
+        return assemble(parsed, order_cols=order_cols)
+
+    def fold_cogroup(key: tuple, docs_pdf: pd.DataFrame,
+                     lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        seed = None
+        if len(docs_pdf) > 0:
+            row = docs_pdf.iloc[0]
+            seed = {f.name: row.get(f.name) for f in DOC_FIELDS
+                    if f.name != "events"}
+            seed["events"] = [
+                {f: e[f] for f in EVENT_FIELDS if e.get(f) is not None}
+                for e in (row["events"] if row["events"] is not None else [])
+            ]
+        if len(lines_pdf) == 0:
+            if seed is None:
+                return pd.DataFrame(columns=[f.name for f in DOC_FIELDS])
+            doc = fold_lines([], seed=seed)
+        else:
+            cols = [c for c in order_cols if c in lines_pdf.columns]
+            lines_pdf = lines_pdf.sort_values(cols, kind="mergesort")
+            rows = (lines_pdf.astype(object)
+                    .where(lines_pdf.notna(), None).to_dict("records"))
+            doc = fold_lines(rows, seed=seed)
+        return pd.DataFrame([_doc_to_row(doc)])
+
+    doc_cols = [f.name for f in DOC_FIELDS]
+    return (
+        state_docs.select(*doc_cols).groupBy("qid")
+        .cogroup(parsed.groupBy("qid"))
+        .applyInPandas(fold_cogroup, DOC_SCHEMA)
+    )
