@@ -150,8 +150,12 @@ def generate_pages(
         F.format_string("mx%d", (F.col("uidx") % 8 + 1).cast("int")))
 
     # syslog timestamp: Jul {24+uidx%3} 04:{mm}:{ss}; strictly ordered
-    # within a url by line index (li drives seconds→minutes carry)
-    tot = (F.col("uidx") * 7 + F.col("li")).cast("int")
+    # within a url by line index (li drives seconds→minutes carry).
+    # Scenario 1's duplicate smtp line (li=2) reuses li=1's timestamp so
+    # the two lines are byte-identical → exercises exact-dup suppression.
+    eff_li = F.when((F.col("scen") == 1) & (F.col("li") == 2),
+                    F.lit(1)).otherwise(F.col("li"))
+    tot = (F.col("uidx") * 7 + eff_li).cast("int")
     day = (F.lit(24) + F.col("uidx") % 3).cast("int")
     hh = (F.lit(4) + (tot % 43200) / 3600).cast("int")
     mi = ((tot % 3600) / 60).cast("int")

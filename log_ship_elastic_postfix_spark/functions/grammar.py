@@ -35,8 +35,11 @@ ENVELOPE_RE = (
 # building; cheap rlike runs against the scan output directly.
 PROG_FILTER_RE = r"^(postfix|rspamd|rmilter)"
 
-# postfix queue-id at the head of msg: "3mPVKl0Mhjz7sXv: rest"
-QID_RE = r"^([0-9A-Za-z]+):\s"
+# postfix queue-id at the head of msg: "3mPVKl0Mhjz7sXv: rest".
+# Queue ids (short hex or long base-52 form) always contain a digit;
+# the lookahead keeps free-form prefixes like "statistics:" from
+# masquerading as ids (scache statistics lines are qid-less).
+QID_RE = r"^(?=[0-9A-Za-z]*\d)([0-9A-Za-z]+):\s"
 MSG_REST_RE = r"^[0-9A-Za-z]+:\s(.*)$"
 
 
