@@ -105,8 +105,10 @@ def q_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.unix_micros(F.min("ts")).alias("first_ts_us"),
-        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("last_ts"),
         F.sum(F.floor(F.col("value") * 100)).alias("total_value_cents"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .alias("n_purchases"),
@@ -358,7 +360,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionize": (
             "select user_id, count(*) as n_events, "
-            "epoch_us(min(ts)) as first_ts_us, epoch_us(max(ts)) as last_ts_us, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as first_ts, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') as last_ts, "
             "cast(sum(cast(floor(value * 100) as bigint)) as bigint) as total_value_cents, "
             "cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchases, "
             "string_agg(distinct event_type, ',' order by event_type) as event_types "

@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: end-to-end parse→assemble→route throughput (docs/sec)
+over the deterministic synthetic pages table sized to the scale factor
+(BASELINE.json metric), with per-query wall seconds for the rest of the
+operator suite. ``--scaling`` runs the same pipeline at two parallelism
+levels (local[8] vs local[32]) and reports throughput at both plus the
+scaling efficiency (BASELINE.md north-rule evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"log-ship-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def stage_pages(spark, n_urls: int, workdir: str, n_hot: int = 4,
+                hot_lines: int = 1024) -> str:
+    """Materialize the synthetic pages table once (generation is not
+    part of the timed pipeline)."""
+    from log_ship_elastic_postfix_spark import datagen
+    path = os.path.join(workdir, f"pages_{n_urls}")
+    if not os.path.exists(path):
+        pages = datagen.generate_pages(
+            spark, n_urls, n_hot=n_hot, hot_lines=hot_lines,
+            n_partitions=64)
+        pages.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_pipeline_e2e(spark, pages_path: str, sink_path: str,
+                     salt_hot_keys: bool = False) -> tuple[float, int]:
+    """Timed: read pages → parse → sessionize → enrich → route → write."""
+    from pyspark.sql import functions as F
+    from log_ship_elastic_postfix_spark.plans.pipeline import (
+        PipelineConfig, run_batch)
+    from log_ship_elastic_postfix_spark.sources.pages import (
+        pages_to_lines, with_batch_seq)
+
+    shutil.rmtree(sink_path, ignore_errors=True)
+    cfg = PipelineConfig(salt_hot_keys=salt_hot_keys)
+    t0 = time.monotonic()
+    pages = spark.read.parquet(pages_path)
+    lines = with_batch_seq(pages_to_lines(pages), 1)
+    res = run_batch(spark, lines, cfg, sink_path=sink_path)
+    n_docs = spark.read.parquet(sink_path).count()
+    sec = time.monotonic() - t0
+    return sec, n_docs
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    names = ["scan_filter_project", "parse_grok", "sessionize",
+             "first_event_wins", "lookup_join", "broadcast_enrich",
+             "agg_lineitem", "dedup_exact", "token_stats", "quality",
+             "fingerprint", "token_jaccard_pairs", "ann_topk_dot",
+             "minhash_neardup", "simhash_neardup", "embedding_neardup"]
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n_urls = max(int(1_500_000 * sf), 1000)
+    scaling = "--scaling" in sys.argv
+
+    workdir = os.environ.get("SPARK_GRAFT_WORKDIR",
+                             os.path.join(tempfile.gettempdir(),
+                                          "log_ship_bench"))
+    os.makedirs(workdir, exist_ok=True)
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_path = stage_pages(spark, n_urls, workdir)
+
+    # JVM/Arrow warmup on a small slice (untimed)
+    warm_path = stage_pages(spark, 1000, workdir, n_hot=0)
+    run_pipeline_e2e(spark, warm_path, os.path.join(workdir, "warm_sink"))
+
+    sink = os.path.join(workdir, "sink")
+    sec, n_docs = run_pipeline_e2e(spark, pages_path, sink)
+    docs_per_sec = n_docs / sec if sec > 0 else 0.0
+
+    queries = {"pipeline_e2e": round(sec, 3)}
+    queries.update(bench_queries(spark, sf_dir))
+
+    result = {
+        "metric": "end_to_end_parse_route_throughput",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "elapsed_sec": round(sec, 3),
+        "n_docs": n_docs,
+        "n_lines": spark.read.parquet(pages_path).count(),
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+    }
+
+    if scaling:
+        spark.stop()
+        scale_res = {}
+        for c in (8, 32):
+            s = build_spark(c)
+            s.sparkContext.setLogLevel("ERROR")
+            run_pipeline_e2e(s, warm_path, os.path.join(workdir, "warm_sink"))
+            sec_c, n_docs_c = run_pipeline_e2e(
+                s, pages_path, os.path.join(workdir, f"sink_{c}"))
+            scale_res[str(c)] = {"sec": round(sec_c, 3),
+                                 "docs_per_sec": round(n_docs_c / sec_c, 1)}
+            s.stop()
+        eff = (scale_res["32"]["docs_per_sec"]
+               / (4 * scale_res["8"]["docs_per_sec"]))
+        result["scaling"] = scale_res
+        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+    else:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,10 +80,12 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
-def rolling_hash(text: Column, *, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+def rolling_hash(text: Column, *, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
     """Polynomial rolling hash over bytes: h = Σ b_i · base^i mod p,
     computed with F.aggregate — the order-sensitive fingerprint the
-    md5 variant can't give (supports incremental windows at scale)."""
+    md5 variant can't give (supports incremental windows at scale).
+    Mersenne-31 modulus keeps ANSI-mode long arithmetic overflow-free
+    (intermediates < 2^39)."""
     bytes_arr = F.transform(
         F.split(text, ""), lambda c: F.ascii(c).cast("long"))
     state = F.aggregate(

@@ -64,19 +64,28 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.array().cast("array<string>"))
 
 
-def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
-    """k minhash values: min over shingles of (xxhash64(s) * odd_i + c_i).
+_MERSENNE31 = (1 << 31) - 1  # universal-hash field; keeps every
+# intermediate < 2^62 so ANSI-mode long arithmetic never overflows
 
-    Equivalent to k independent universal hashes; entirely built-in
-    (transform + array_min), vectorized in codegen.
+
+def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
+    """k minhash values: min over shingles of ((a_i·h + b_i) mod p) with
+    h = xxhash64(shingle) reduced into the Mersenne-31 field.
+
+    k independent universal hashes, entirely built-in (transform +
+    array_min), vectorized in codegen — no Python, no overflow.
     """
-    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
-    sigs = [
-        F.array_min(F.transform(
-            base, lambda h: h * F.lit(2 * i + 1) + F.lit(_MIX ^ (i * 0x5BD1)))
-        ).alias(f"mh_{i}")
-        for i in range(k)
-    ]
+    base = F.transform(shingle_col,
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    def _uhash(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+
+    sigs = []
+    for i in range(k):
+        a = (2 * i + 1) * 2654435761 % _MERSENNE31 or 1
+        b = (i * 0x9E3779B1 + 0x5BD1E995) % _MERSENNE31
+        sigs.append(F.array_min(F.transform(base, _uhash(a, b)))
+                    .alias(f"mh_{i}"))
     return F.array(*sigs)
 
 
