@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Print the physical plans of the pipeline stages for plan-quality
+review: verifies parquet pushdown/pruning on the scan, single exchange
+for the sessionizer, broadcast (not shuffle) enrich joins, and
+whole-stage codegen spans over the parse expressions.
+
+Output is committed to PLANS.md so plan regressions show up in diffs.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def main() -> None:
+    spark = (SparkSession.builder.master("local[4]")
+             .appName("explain-plans")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from log_ship_elastic_postfix_spark import datagen
+    from log_ship_elastic_postfix_spark.operators import enrich, route
+    from log_ship_elastic_postfix_spark.operators.assemble import assemble
+    from log_ship_elastic_postfix_spark.operators.parse import parse_lines
+    from log_ship_elastic_postfix_spark.plans.pipeline import PipelineConfig
+    from log_ship_elastic_postfix_spark.sources.pages import (
+        pages_to_lines, with_batch_seq)
+
+    workdir = tempfile.mkdtemp(prefix="explain_")
+    pages_path = os.path.join(workdir, "pages")
+    datagen.generate_pages(spark, 2000, n_partitions=8) \
+        .write.mode("overwrite").parquet(pages_path)
+
+    cfg = PipelineConfig()
+    pages = spark.read.parquet(pages_path)
+    lines = with_batch_seq(pages_to_lines(pages), 1)
+
+    sections: list[tuple[str, object]] = []
+
+    # 1. scan + parse (narrow; pruned columns; codegen)
+    pr = parse_lines(lines, tz=cfg.tz, now=cfg.now)
+    sections.append(("parse stage (scan → envelope/grammar → filters)",
+                     pr.parsed.select("qid", "host", "date", "size")))
+
+    # 2. full pipeline to routed docs (one exchange on qid + broadcast)
+    docs = assemble(pr.parsed)
+    parent_map = spark.createDataFrame(
+        [("3QzXy", "p1")], "qid string, parent string")
+    routed = route.route_docs(enrich.with_parent(docs, parent_map))
+    sections.append(("full pipeline (parse → sessionize → enrich → route)",
+                     routed.select("qid", "sink", "route_date", "n_events")))
+
+    # 3. per-sink counts (partial+final agg)
+    sections.append(("sink counts", route.sink_counts(routed)))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        for title, df in sections:
+            print(f"\n{'=' * 70}\n## {title}\n{'=' * 70}")
+            df.explain("formatted")
+    text = buf.getvalue()
+    print(text)
+
+    exchanges = text.count("Exchange ")
+    bhj = text.count("BroadcastHashJoin")
+    wsc = text.count("WholeStageCodegen")
+    print(f"\n--- plan stats: exchanges={exchanges} "
+          f"broadcast_joins={bhj} codegen_spans={wsc}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
