@@ -230,23 +230,69 @@ def _order_columns(pdf: pd.DataFrame, order_cols: list[str]) -> pd.DataFrame:
                            kind="mergesort")
 
 
+def _fold_partition_factory(order_cols: list[str], group_cols: list[str],
+                            chunk: int = 2048):
+    """mapInPandas fold: sort the whole shuffle partition once, then a
+    single itertools.groupby pass over record dicts.
+
+    Physical rationale: ``groupBy().applyInPandas`` invokes Python and
+    builds a pandas frame once **per group**; with ~1 doc per 4 lines
+    that is one call per emitted row — measured ~10× slower than one
+    call per partition. ``repartition(keys) + mapInPandas`` keeps the
+    identical exchange but amortizes the Python boundary over the whole
+    partition. Partition must fit in memory — true by construction:
+    shuffle partitions are sized by spark.sql.shuffle.partitions /
+    AQE target size, not by corpus size.
+
+    State continuation rides the same fold: a committed doc enters as a
+    seed row (``_seed_json`` column, batch_seq/line_no = −1 so it sorts
+    before every real line of its qid) — the MERGE-style alternative to
+    a per-key cogroup.
+    """
+    import json
+    from itertools import groupby as igroupby
+
+    def fold_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        cols = [c for c in group_cols + order_cols if c in pdf.columns]
+        pdf = pdf.sort_values(cols, kind="mergesort")
+        # Arrow hands nullable strings to pandas as object/None already;
+        # no astype copy needed
+        records = pdf.to_dict("records")
+        out: list[dict] = []
+        keyf = (lambda r: r["qid"]) if group_cols == ["qid"] else \
+            (lambda r: tuple(r[c] for c in group_cols))
+        for _, grp in igroupby(records, key=keyf):
+            rows = list(grp)
+            seed = None
+            if rows and rows[0].get("_seed_json"):
+                seed = json.loads(rows[0]["_seed_json"])
+                rows = rows[1:]
+            doc = fold_lines(rows, seed=seed)
+            if doc is not None:
+                out.append(_doc_to_row(doc))
+            if len(out) >= chunk:
+                yield pd.DataFrame(out)
+                out = []
+        if out:
+            yield pd.DataFrame(out)
+
+    return fold_partition
+
+
 def assemble(parsed: DataFrame, order_cols: Optional[list[str]] = None) -> DataFrame:
     """parsed lines → one doc per qid (single-phase fold).
 
-    The groupBy is the pipeline's only wide dependency; Catalyst plans
-    one hash exchange on qid. Group-local work is Arrow-batched pandas.
+    The repartition on qid is the pipeline's only wide dependency —
+    the same single hash exchange a groupBy would plan; the fold runs
+    once per shuffle partition (see _fold_partition_factory).
     """
     order_cols = order_cols or ["batch_seq", "line_no"]
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _order_columns(pdf, order_cols)
-        rows = pdf.astype(object).where(pdf.notna(), None).to_dict("records")
-        doc = fold_lines(rows)
-        if doc is None:
-            return pd.DataFrame(columns=[f.name for f in DOC_FIELDS])
-        return pd.DataFrame([_doc_to_row(doc)])
-
-    return parsed.groupBy("qid").applyInPandas(fold, DOC_SCHEMA)
+    return parsed.repartition("qid").mapInPandas(
+        _fold_partition_factory(order_cols, ["qid"]), DOC_SCHEMA)
 
 
 # ------------------------------------------------------------------ salted
@@ -268,13 +314,13 @@ def assemble_salted(
     :func:`assemble`; the exchange for phase 1 is on (qid, salt), so a
     hot qid spreads over ``n_salts`` tasks.
     """
+    from itertools import groupby as igroupby
+
     order_cols = order_cols or ["batch_seq", line_no_col]
     salted = parsed.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(line_no_col)), F.lit(n_salts)).cast("int"))
 
-    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _order_columns(pdf, order_cols)
-        rows = pdf.astype(object).where(pdf.notna(), None).to_dict("records")
+    def _partial_group(rows: list[dict]) -> dict:
         qid = rows[0]["qid"]
         min_line = int(rows[0][line_no_col])
         host, date = rows[0].get("host"), rows[0].get("date")
@@ -289,7 +335,7 @@ def assemble_salted(
             if doc.pop("isFinal", False):
                 is_final = True
             for k, v in doc.items():
-                if k in ("qid",):
+                if k == "qid":
                     continue
                 root_sets.append({"line_no": ln, "field": k,
                                   "value": None if v is None else str(v)})
@@ -297,39 +343,72 @@ def assemble_salted(
                 rec = {f: e.get(f) for f in EVENT_FIELDS}
                 rec["line_no"] = ln
                 events.append(rec)
-        return pd.DataFrame([{
-            "qid": qid, "min_line_no": min_line, "host": host, "date": date,
-            "isFinal": is_final, "root_sets": root_sets, "events": events,
-        }])
+        return {"qid": qid, "min_line_no": min_line, "host": host,
+                "date": date, "isFinal": is_final, "root_sets": root_sets,
+                "events": events}
 
-    partials = salted.groupBy("qid", "_salt").applyInPandas(
-        partial, _PARTIAL_SCHEMA)
+    def partial_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        cols = [c for c in ["qid", "_salt"] + order_cols if c in pdf.columns]
+        pdf = pdf.sort_values(cols, kind="mergesort")
+        records = pdf.to_dict("records")
+        out = []
+        for _, grp in igroupby(records, key=lambda r: (r["qid"], r["_salt"])):
+            out.append(_partial_group(list(grp)))
+            if len(out) >= 2048:
+                yield pd.DataFrame(out)
+                out = []
+        if out:
+            yield pd.DataFrame(out)
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("min_line_no", kind="mergesort")
-        first = pdf.iloc[0]
+    partials = salted.repartition("qid", "_salt").mapInPandas(
+        partial_partition, _PARTIAL_SCHEMA)
+
+    def _merge_group(rows: list[dict]) -> dict:
+        rows.sort(key=lambda r: r["min_line_no"])
+        first = rows[0]
         doc = {"qid": first["qid"], "host": first["host"],
-               "date": first["date"], "isFinal": bool(pdf["isFinal"].any())}
+               "date": first["date"],
+               "isFinal": any(r["isFinal"] for r in rows)}
         # root hoists: last (max line_no) setter wins, as sequential
         # dispatch overwrites on every occurrence
         sets: list[dict] = []
-        for rs in pdf["root_sets"]:
-            if rs is not None:
-                sets.extend(list(rs))  # numpy array from Arrow
-        sets.sort(key=lambda r: r["line_no"])
-        for r in sets:
-            doc[r["field"]] = r["value"]
+        for r in rows:
+            if r["root_sets"] is not None:
+                sets.extend(list(r["root_sets"]))  # numpy array from Arrow
+        sets.sort(key=lambda s: s["line_no"])
+        for s in sets:
+            doc[s["field"]] = s["value"]
         # events: global line order, then the ordered addEvent pass
         cand: list[dict] = []
-        for evs in pdf["events"]:
-            if evs is not None:
-                cand.extend(list(evs))
+        for r in rows:
+            if r["events"] is not None:
+                cand.extend(list(r["events"]))
         cand.sort(key=lambda e: e["line_no"])
         events: list[dict] = []
         for e in cand:
             _add_event(events, {f: e.get(f) for f in EVENT_FIELDS})
         doc["events"] = events
         doc["n_events"] = len(events)
-        return pd.DataFrame([_doc_to_row(doc)])
+        return _doc_to_row(doc)
 
-    return partials.groupBy("qid").applyInPandas(merge, DOC_SCHEMA)
+    def merge_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["qid"], kind="mergesort")
+        records = pdf.to_dict("records")
+        out = []
+        for _, grp in igroupby(records, key=lambda r: r["qid"]):
+            out.append(_merge_group(list(grp)))
+            if len(out) >= 2048:
+                yield pd.DataFrame(out)
+                out = []
+        if out:
+            yield pd.DataFrame(out)
+
+    return partials.repartition("qid").mapInPandas(merge_partition, DOC_SCHEMA)

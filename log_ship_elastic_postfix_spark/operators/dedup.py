@@ -10,21 +10,31 @@ standard corpus-dedup toolbox; each operator here is expressible at
   (band, band-hash) buckets only; candidate pairs verified by exact
   Jaccard. No O(n²) stage anywhere.
 - SimHash: 64-bit weighted-projection fingerprint; near-dups collide
-  on rotated prefix buckets.
+  on 16-bit key slices (pigeonhole over 4 tables).
 - n-gram Jaccard: exact verification primitive (used standalone for
   small candidate sets and as the LSH verifier).
 
-Hash functions are deterministic arithmetic (xxhash64 + odd-multiplier
+Physical note: the signature computations (MinHash, SimHash) are
+Arrow-vectorized pandas UDFs with numpy inner loops. A pure-expression
+formulation (k × transform/array_min) re-evaluates the shingle pipeline
+once per signature slot — Catalyst does not share subexpressions across
+projection fields — and measured ~100× slower at any scale. The
+banding/bucketing/joins around the signatures stay JVM-side.
+Hash functions are deterministic (crc32 / xxhash64 + universal-hash
 mixing), never Python's salted ``hash``.
 """
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-# 64-bit mixing constants (Splitmix64/Murmur finalizer style)
-_MIX = -7046029254386353131  # 0x9E3779B97F4A7C15 as signed
+_MERSENNE31 = (1 << 31) - 1  # universal-hash field
 
 
 def normalize_text(text: Column) -> Column:
@@ -52,7 +62,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct), JVM-side via transform over
-    the token array — no Python."""
+    the token array — no Python. Used by the exact-Jaccard verifier."""
     toks = F.split(normalize_text(text), " ")
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.transform(
@@ -64,31 +74,73 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.array().cast("array<string>"))
 
 
-_MERSENNE31 = (1 << 31) - 1  # universal-hash field; keeps every
-# intermediate < 2^62 so ANSI-mode long arithmetic never overflows
+# ------------------------------------------------------------- signatures
+def _shingle_set(text: str, n: int) -> set[str]:
+    toks = (text or "").lower().split()
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
-def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
-    """k minhash values: min over shingles of ((a_i·h + b_i) mod p) with
-    h = xxhash64(shingle) reduced into the Mersenne-31 field.
+def minhash_signature(text_col: Column, k: int = 32,
+                      n_shingle: int = 3) -> Column:
+    """k minhash values over word n-gram shingles (one Arrow batch pass,
+    numpy (a_i·h + b_i) mod 2³¹−1 with h = crc32(shingle))."""
+    a = np.array([((2 * i + 1) * 2654435761) % _MERSENNE31 or 1
+                  for i in range(k)], dtype=np.int64)
+    b = np.array([(i * 0x9E3779B1 + 0x5BD1E995) % _MERSENNE31
+                  for i in range(k)], dtype=np.int64)
+    empty = [int(_MERSENNE31)] * k
 
-    k independent universal hashes, entirely built-in (transform +
-    array_min), vectorized in codegen — no Python, no overflow.
-    """
-    base = F.transform(shingle_col,
-                       lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
-    def _uhash(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+    @pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_set(t, n_shingle)
+            if not sh:
+                out.append(empty)
+                continue
+            h = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in sh),
+                            dtype=np.int64, count=len(sh)) % _MERSENNE31
+            vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE31
+            out.append(vals.min(axis=1).tolist())
+        return pd.Series(out)
 
-    sigs = []
-    for i in range(k):
-        a = (2 * i + 1) * 2654435761 % _MERSENNE31 or 1
-        b = (i * 0x9E3779B1 + 0x5BD1E995) % _MERSENNE31
-        sigs.append(F.array_min(F.transform(base, _uhash(a, b)))
-                    .alias(f"mh_{i}"))
-    return F.array(*sigs)
+    return sig(text_col)
 
 
+def simhash64(text_col: Column, n_shingle: int = 2) -> Column:
+    """64-bit SimHash over word shingles: per-bit majority vote of
+    64-bit shingle hashes (crc32 of the shingle and of its reverse,
+    concatenated), one numpy pass per Arrow batch."""
+    bit_positions = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_set(t, n_shingle)
+            if not sh:
+                out.append(0)
+                continue
+            h = np.fromiter(
+                ((zlib.crc32(s.encode("utf-8"))
+                  | (zlib.crc32(s[::-1].encode("utf-8")) << 32))
+                 for s in sh),
+                dtype=np.uint64, count=len(sh))
+            bits = ((h[:, None] >> bit_positions[None, :]) & 1).astype(np.int64)
+            votes = (bits * 2 - 1).sum(axis=0)
+            packed = np.uint64(0)
+            for i in range(64):
+                if votes[i] > 0:
+                    packed |= np.uint64(1) << np.uint64(i)
+            out.append(int(packed.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return sig(text_col)
+
+
+# ----------------------------------------------------------------- LSH
 def minhash_lsh_candidates(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     n_shingle: int = 3, k: int = 32, bands: int = 8,
@@ -100,13 +152,13 @@ def minhash_lsh_candidates(
     within buckets (b × tiny), never across the corpus.
     """
     rows = k // bands
-    sig = minhash_signature(shingles(F.col(text_col), n_shingle), k)
+    sig = minhash_signature(F.col(text_col), k, n_shingle)
     with_sig = df.select(F.col(id_col), sig.alias("sig"))
     band_cols = []
-    for b in range(bands):
-        band_slice = F.slice(F.col("sig"), b * rows + 1, rows)
+    for band in range(bands):
+        band_slice = F.slice(F.col("sig"), band * rows + 1, rows)
         band_cols.append(F.struct(
-            F.lit(b).alias("band"),
+            F.lit(band).alias("band"),
             F.xxhash64(F.concat_ws(",", *[
                 F.element_at(band_slice, i + 1).cast("string")
                 for i in range(rows)])).alias("bucket")))
@@ -166,26 +218,6 @@ def near_duplicates_minhash(
                          n_shingle=n_shingle, threshold=threshold)
 
 
-# ---------------------------------------------------------------- simhash
-def simhash64(text: Column, n_shingle: int = 2) -> Column:
-    """64-bit SimHash over word shingles, fully built-in: per-bit
-    weighted vote via aggregate over the shingle-hash array."""
-    hashes = F.transform(shingles(text, n_shingle), lambda s: F.xxhash64(s))
-    bits = []
-    for i in range(64):
-        vote = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                h.bitwiseAND(F.lit(1 << i if i < 63 else -(2 ** 63))) != 0,
-                F.lit(1)).otherwise(F.lit(-1)))
-        bits.append(F.when(vote > 0, F.lit(1 << i if i < 63 else -(2 ** 63)))
-                    .otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
-
-
 def simhash_near_duplicates(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, n_shingle: int = 2, n_tables: int = 4,
@@ -197,7 +229,8 @@ def simhash_near_duplicates(
                    .alias("simhash"))
     tables = []
     for t in range(n_tables):
-        key = F.shiftrightunsigned(F.col("simhash"), t * 16).bitwiseAND(F.lit(0xFFFF))
+        key = F.shiftrightunsigned(F.col("simhash"), t * 16) \
+               .bitwiseAND(F.lit(0xFFFF))
         tables.append(sh.select(id_col, "simhash", F.lit(t).alias("tbl"),
                                 key.alias("bkey")))
     exploded = tables[0]
@@ -208,21 +241,10 @@ def simhash_near_duplicates(
                                                   F.col("simhash").alias("sh"))))
               .alias("members"))
          .filter(F.size("members") > 1))
-    pairs = (b.select(F.explode(_pairs_from_sorted_structs("members")).alias("p"))
+    pairs = (b.select(F.explode(_pairs_from_sorted("members")).alias("p"))
              .select(F.col("p.a.id").alias("id_a"), F.col("p.a.sh").alias("sh_a"),
                      F.col("p.b.id").alias("id_b"), F.col("p.b.sh").alias("sh_b"))
              .distinct())
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
-
-
-def _pairs_from_sorted_structs(col_name: str) -> Column:
-    arr = F.col(col_name)
-    return F.flatten(F.transform(
-        F.sequence(F.lit(0), F.size(arr) - 2),
-        lambda i: F.transform(
-            F.slice(arr, (i + 2).cast("int"), F.size(arr)),
-            lambda b: F.struct(F.element_at(arr, (i + 1).cast("int")).alias("a"),
-                               b.alias("b"))),
-    ))

@@ -26,14 +26,12 @@ Spark design:
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .assemble import DOC_FIELDS, DOC_SCHEMA, EVENT_FIELDS, fold_lines, _doc_to_row
+from .assemble import DOC_FIELDS
 
 
 class StateStore:
@@ -95,44 +93,29 @@ def merge_with_state(
     state_docs: Optional[DataFrame],
     order_cols: Optional[list[str]] = None,
 ) -> DataFrame:
-    """Cogrouped continuation fold: committed docs ⊔ new lines by qid.
+    """Continuation fold: committed docs ⊔ new lines by qid.
 
     Equivalent to the reference's populatePfdocsFromEs → updatePfDocs
     sequence: a qid with a committed doc continues from it; a fresh qid
-    starts from the template. One exchange on qid for each side.
-    """
+    starts from the template. Implemented as a **seed-row union**: each
+    committed doc becomes one row carrying its JSON form with
+    batch_seq/line_no = −1, unioned into the parsed-line stream, so the
+    continuation costs exactly the same single exchange as the plain
+    fold (no per-key cogroup round-trips)."""
+    from .assemble import assemble
+
     order_cols = order_cols or ["batch_seq", "line_no"]
 
     if state_docs is None:
-        from .assemble import assemble
         return assemble(parsed, order_cols=order_cols)
 
-    def fold_cogroup(key: tuple, docs_pdf: pd.DataFrame,
-                     lines_pdf: pd.DataFrame) -> pd.DataFrame:
-        seed = None
-        if len(docs_pdf) > 0:
-            row = docs_pdf.iloc[0]
-            seed = {f.name: row.get(f.name) for f in DOC_FIELDS
-                    if f.name != "events"}
-            seed["events"] = [
-                {f: e[f] for f in EVENT_FIELDS if e.get(f) is not None}
-                for e in (row["events"] if row["events"] is not None else [])
-            ]
-        if len(lines_pdf) == 0:
-            if seed is None:
-                return pd.DataFrame(columns=[f.name for f in DOC_FIELDS])
-            doc = fold_lines([], seed=seed)
-        else:
-            cols = [c for c in order_cols if c in lines_pdf.columns]
-            lines_pdf = lines_pdf.sort_values(cols, kind="mergesort")
-            rows = (lines_pdf.astype(object)
-                    .where(lines_pdf.notna(), None).to_dict("records"))
-            doc = fold_lines(rows, seed=seed)
-        return pd.DataFrame([_doc_to_row(doc)])
-
-    doc_cols = [f.name for f in DOC_FIELDS]
-    return (
-        state_docs.select(*doc_cols).groupBy("qid")
-        .cogroup(parsed.groupBy("qid"))
-        .applyInPandas(fold_cogroup, DOC_SCHEMA)
+    ptypes = dict(parsed.dtypes)
+    doc_cols = [F.col(f"`{f.name}`") for f in DOC_FIELDS]
+    seeds = state_docs.select(
+        F.col("qid"),
+        F.to_json(F.struct(*doc_cols)).alias("_seed_json"),
+        F.lit(-1).cast(ptypes.get("batch_seq", "bigint")).alias("batch_seq"),
+        F.lit(-1).cast(ptypes.get("line_no", "bigint")).alias("line_no"),
     )
+    unioned = parsed.unionByName(seeds, allowMissingColumns=True)
+    return assemble(unioned, order_cols=order_cols)
