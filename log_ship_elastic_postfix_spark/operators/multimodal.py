@@ -1,0 +1,120 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as
+``binary`` columns beside typed metadata, and runs decode /
+feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` stages. The Spark-side plumbing here is real and
+tested — schemas, partition-preserving mapInPandas signatures, batch
+shapes, deterministic fake features — while the codec calls themselves
+are stubs (Pillow/ffmpeg are not in this container): swap
+``_decode_image_stub`` for a real decoder and nothing else changes.
+
+The html→text path in :mod:`..functions.html` is the same shape run
+for real: binary payload → typed extraction with a per-row invariant.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+IMAGE_META_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("checksum", LongType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("feature", ArrayType(FloatType())),
+])
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """STUB decode: a real implementation returns PIL.Image.open(...)
+    dimensions. The deterministic fake derives (width, height) from the
+    payload so tests exercise the full plumbing without codec libs."""
+    if not payload:
+        raise NotImplementedError(
+            "real image decode requires Pillow; empty payload has no fake")
+    h = zlib.crc32(payload)
+    return 64 + (h & 0x3F) * 16, 64 + ((h >> 6) & 0x3F) * 16
+
+
+def extract_media_metadata(df: DataFrame, *, payload_col: str = "html",
+                           url_col: str = "url") -> DataFrame:
+    """binary payload → typed metadata rows via mapInPandas.
+
+    Narrow (no shuffle); one Arrow batch in, one out; bytes never leave
+    the executor as Python scalars row-by-row.
+    """
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            dims = [_decode_image_stub(p) for p in payloads]
+            yield pd.DataFrame({
+                "url": pdf[url_col],
+                "media_type": "text/html",  # real impl: sniff magic bytes
+                "n_bytes": payloads.map(len).astype("int64"),
+                "width": np.array([d[0] for d in dims], dtype="int32"),
+                "height": np.array([d[1] for d in dims], dtype="int32"),
+                "checksum": payloads.map(
+                    lambda b: zlib.crc32(b)).astype("int64"),
+            })
+
+    return df.select(url_col, payload_col).mapInPandas(
+        meta, IMAGE_META_SCHEMA)
+
+
+def extract_features(df: DataFrame, *, payload_col: str = "html",
+                     url_col: str = "url", dim: int = 16) -> DataFrame:
+    """binary payload → fixed-dim float feature vector (the
+    embed-for-similarity stage). Deterministic fake: byte-histogram
+    projection; a real model slots into the same mapInPandas body."""
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                n = np.linalg.norm(hist)
+                out.append((hist / n if n else hist).tolist())
+            yield pd.DataFrame({"url": pdf[url_col], "feature": out})
+
+    return df.select(url_col, payload_col).mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, *, payload_col: str = "html",
+                  url_col: str = "url", every_n: int = 4) -> DataFrame:
+    """Frame-sampling shape: one binary in → k binaries out (explode
+    inside mapInPandas, preserving Arrow batching). Stub slices the
+    payload; a real impl emits decoded video frames."""
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", StringType()),  # real impl: BinaryType
+    ])
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, nos, payloads = [], [], []
+            for u, b in zip(pdf[url_col], pdf[payload_col]):
+                chunks = [b[i:i + 64] for i in range(0, len(b), 64)][::every_n]
+                for i, c in enumerate(chunks):
+                    urls.append(u)
+                    nos.append(i)
+                    payloads.append(c.decode("utf-8", "replace"))
+            yield pd.DataFrame({"url": urls, "frame_no": nos,
+                                "frame": payloads})
+
+    return df.select(url_col, payload_col).mapInPandas(frames, schema)

@@ -1,0 +1,40 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism of the
+stubbed decode/feature/frame-sample mapInPandas stages."""
+
+from __future__ import annotations
+
+import pytest
+
+from log_ship_elastic_postfix_spark import datagen
+from log_ship_elastic_postfix_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return datagen.generate_pages(spark, 20, n_partitions=2).cache()
+
+
+def test_metadata_extraction(spark, pages):
+    meta = multimodal.extract_media_metadata(pages)
+    rows = meta.collect()
+    assert len(rows) == pages.count()
+    r = rows[0]
+    assert r["n_bytes"] > 0
+    assert r["width"] >= 64 and r["height"] >= 64
+    # deterministic: same payload → same checksum/dims on re-run
+    again = {x["checksum"] for x in multimodal.extract_media_metadata(pages)
+             .collect()}
+    assert {x["checksum"] for x in rows} == again
+
+
+def test_feature_extraction_shape(spark, pages):
+    feats = multimodal.extract_features(pages, dim=16).collect()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    norms = [sum(v * v for v in r["feature"]) for r in feats]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)
+
+
+def test_frame_sampling_explodes(spark, pages):
+    frames = multimodal.sample_frames(pages, every_n=2)
+    assert frames.count() > pages.count()
+    assert frames.columns == ["url", "frame_no", "frame"]
