@@ -131,20 +131,30 @@ def main() -> None:
     }
 
     if scaling:
+        # N vs 4N evidence needs a compute-dominated workload: 4× the
+        # headline input, warmed session, steady-state (best of two
+        # timed runs) so Python-worker spawn and first-job scheduling
+        # overheads don't masquerade as scaling loss.
+        scale_pages = stage_pages(spark, n_urls * 4, workdir,
+                                  n_hot=8, hot_lines=1024)
         spark.stop()
         scale_res = {}
         for c in (8, 32):
-            s = build_spark(c)
+            s = build_spark(c, shuffle_partitions=2 * c)
             s.sparkContext.setLogLevel("ERROR")
             run_pipeline_e2e(s, warm_path, os.path.join(workdir, "warm_sink"))
-            sec_c, n_docs_c = run_pipeline_e2e(
-                s, pages_path, os.path.join(workdir, f"sink_{c}"))
-            scale_res[str(c)] = {"sec": round(sec_c, 3),
-                                 "docs_per_sec": round(n_docs_c / sec_c, 1)}
+            best, n_docs_c = None, 0
+            for _ in range(2):
+                sec_c, n_docs_c = run_pipeline_e2e(
+                    s, scale_pages, os.path.join(workdir, f"sink_{c}"))
+                best = sec_c if best is None else min(best, sec_c)
+            scale_res[str(c)] = {"sec": round(best, 3),
+                                 "docs_per_sec": round(n_docs_c / best, 1)}
             s.stop()
         eff = (scale_res["32"]["docs_per_sec"]
                / (4 * scale_res["8"]["docs_per_sec"]))
         result["scaling"] = scale_res
+        result["scaling_n_docs"] = n_urls * 4
         result["scaling_efficiency_8_to_32"] = round(eff, 3)
     else:
         spark.stop()

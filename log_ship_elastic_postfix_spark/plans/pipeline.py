@@ -64,6 +64,15 @@ def parse_stage(lines: DataFrame, cfg: PipelineConfig) -> ParseResult:
 
 def assemble_stage(parsed: DataFrame, cfg: PipelineConfig,
                    state_docs: Optional[DataFrame] = None) -> DataFrame:
+    # prune to the fold's working set before the qid exchange — the
+    # pipeline's only shuffle must carry parsed fields, never the page
+    # text/html passenger columns (at 100 TB the difference is the
+    # whole shuffle volume)
+    from ..operators.parse import PARSED_FIELDS
+    keep = [c for c in ("qid", "host", "prog", "date", *cfg.order_cols)
+            if c in parsed.columns]
+    keep += [f for f in PARSED_FIELDS if f in parsed.columns and f != "qid"]
+    parsed = parsed.select(*[F.col(f"`{c}`") for c in keep])
     order_cols = list(cfg.order_cols)
     if state_docs is not None:
         return merge_with_state(parsed, state_docs, order_cols=order_cols)
