@@ -148,21 +148,33 @@ def parse_all(
     line_col: str = "line",
     tz: str = "America/Phoenix",
     now: Optional[dt.datetime] = None,
+    passengers: Optional[list[str]] = None,
 ) -> DataFrame:
-    """Full grok over a raw-line DataFrame: passengers preserved,
-    parsed columns + ``reject_reason`` added. Narrow; one Arrow pass."""
+    """Full grok over a raw-line DataFrame: selected passengers
+    preserved, parsed columns + ``reject_reason`` added. Narrow; one
+    Arrow pass.
+
+    ``passengers`` limits which input columns cross the Python
+    boundary and return — every byte of an unused passenger column is
+    serialized twice, so callers should name only what downstream
+    stages read (default: all input columns, test-friendly).
+    """
     if now is None:
         now = dt.datetime.now()
+    if passengers is None:
+        passengers = [c for c in lines.columns if c != line_col]
+    in_cols = [line_col] + [c for c in passengers if c != line_col]
+    lines = lines.select(*[F.col(f"`{c}`") for c in in_cols])
 
+    keep_fields = [f for f in lines.schema.fields if f.name in passengers]
     schema = StructType(
-        list(lines.schema.fields)
+        keep_fields
         + [StructField("host", StringType()),
            StructField("prog", StringType()),
            StructField("date", StringType())]
         + [StructField(f, StringType()) for f in PARSED_FIELDS]
         + [StructField("reject_reason", StringType())]
     )
-    passenger_cols = list(lines.columns)
 
     def grok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -179,27 +191,32 @@ def parse_lines(
     tz: str = "America/Phoenix",
     now: Optional[dt.datetime] = None,
     require_qid: bool = True,
+    passengers: Optional[list[str]] = None,
 ) -> ParseResult:
     """Raw-line DataFrame → (parsed, rejects).
 
     ``lines`` must carry ``line_col`` plus any passenger columns
-    (``line_no``, ``batch_seq``, ``url`` …) which are preserved.
+    (``line_no``, ``batch_seq``, ``url`` …); ``passengers`` selects
+    which of them survive the parse (see :func:`parse_all`).
     ``require_qid=False`` reproduces the test/replay entry point
     (readLogLine, lib/logship.js:163-167) which enqueues qid-less
     parsed lines.
     """
-    all_rows = parse_all(lines, line_col=line_col, tz=tz, now=now)
+    all_rows = parse_all(lines, line_col=line_col, tz=tz, now=now,
+                         passengers=passengers)
+    out_passengers = [c for c in all_rows.columns
+                      if c in lines.columns and c != line_col]
 
     kept = all_rows.filter(F.col("reject_reason").isNull()) \
                    .drop("reject_reason")
     rejects = all_rows.filter(F.col("reject_reason").isNotNull()) \
-                      .select(*lines.columns, "reject_reason")
+                      .select(*out_passengers, "reject_reason")
 
     if require_qid:
         qid_ok = F.col("qid").isNotNull() & (F.col("qid") != "")
         parsed = kept.filter(qid_ok)
         qid_rejects = kept.filter(~qid_ok).select(
-            *lines.columns, F.lit("no_qid").alias("reject_reason"))
+            *out_passengers, F.lit("no_qid").alias("reject_reason"))
         rejects = rejects.unionByName(qid_rejects)
     else:
         parsed = kept

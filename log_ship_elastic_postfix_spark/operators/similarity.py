@@ -77,20 +77,36 @@ def lsh_sign_buckets(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = 64, n_tables: int = 4, n_bits: int = 8,
 ) -> DataFrame:
-    """vector → (table, bucket) sign-signature keys."""
-    out_cols = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for b in range(n_bits):
-            hp = F.array(*[F.lit(v) for v in _hyperplane(dim, t, b)])
-            sign = F.when(_dot(F.col(vec_col), hp) >= 0, 1).otherwise(0)
-            bucket = bucket * 2 + sign
-        out_cols.append(F.struct(F.lit(t).alias("tbl"),
-                                 bucket.alias("bucket")))
+    """vector → (table, bucket) sign-signature keys.
+
+    One Arrow pandas UDF computing the full (batch × tables·bits) sign
+    matrix as a single numpy matmul — the pure-expression form costs
+    n_tables·n_bits interpreted array-aggregate passes per row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array([
+        _hyperplane(dim, t, b) for t in range(n_tables)
+        for b in range(n_bits)], dtype=np.float64).T  # (dim, T*B)
+    weights = np.array([1 << (n_bits - 1 - b) for b in range(n_bits)],
+                       dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        signs = (mat @ planes >= 0).astype(np.int64)     # (n, T*B)
+        signs = signs.reshape(len(mat), n_tables, n_bits)
+        vals = (signs * weights[None, None, :]).sum(axis=2)  # (n, T)
+        return pd.Series(vals.tolist())
+
     return (df.select(F.col(id_col), F.col(vec_col),
-                      F.explode(F.array(*out_cols)).alias("tb"))
-            .select(id_col, vec_col, F.col("tb.tbl").alias("tbl"),
-                    F.col("tb.bucket").alias("bucket")))
+                      F.posexplode(buckets(F.col(vec_col)))
+                      .alias("tbl", "bucket"))
+            .select(id_col, vec_col, "tbl", "bucket"))
 
 
 def ann_topk(

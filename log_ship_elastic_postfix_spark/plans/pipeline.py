@@ -59,7 +59,11 @@ class BatchResult:
 
 
 def parse_stage(lines: DataFrame, cfg: PipelineConfig) -> ParseResult:
-    return parse_lines(lines, tz=cfg.tz, now=cfg.now)
+    # only the order keys ride through the parse UDF — url/lang/text
+    # passengers would be Arrow-serialized both ways for nothing
+    passengers = [c for c in cfg.order_cols if c in lines.columns]
+    return parse_lines(lines, tz=cfg.tz, now=cfg.now,
+                       passengers=passengers)
 
 
 def assemble_stage(parsed: DataFrame, cfg: PipelineConfig,

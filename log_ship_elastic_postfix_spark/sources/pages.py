@@ -26,16 +26,26 @@ def pages_to_lines(pages: DataFrame) -> DataFrame:
 
     ``line_no`` is the within-url order key (warc_ts is strictly
     increasing per url by generation); the decode+regex is JVM-side.
+    Deliberately narrow — the page text does NOT ride along (every
+    byte here crosses the Arrow boundary into the parse UDF and back;
+    text validation has its own scan, :func:`text_invariant_violations`).
     """
     return pages.select(
         F.col("url"),
-        F.col("warc_ts"),
         F.col("lang"),
         F.unix_timestamp(F.col("warc_ts")).alias("line_no"),
         extract_log_line(F.col("html")).alias("line"),
-        extract_text(F.col("html")).alias("extracted_text"),
-        F.col("text"),
     )
+
+
+def text_invariant_violations(pages: DataFrame) -> DataFrame:
+    """Rows whose extracted text differs from the stored ``text`` —
+    the byte-identical-per-url invariant scan (BASELINE.json). Narrow,
+    JVM-only; run as a data-quality gate beside the pipeline."""
+    return (pages
+            .withColumn("extracted_text", extract_text(F.col("html")))
+            .filter(F.col("extracted_text") != F.col("text"))
+            .select("url", "warc_ts", "text", "extracted_text"))
 
 
 def with_batch_seq(lines: DataFrame, n_batches: int) -> DataFrame:

@@ -41,10 +41,10 @@ def small_pages(spark):
 
 def test_text_extraction_invariant(spark, small_pages):
     """Byte-identical extracted text per url (BASELINE.json input_hint)."""
-    lines = pages_to_lines(small_pages)
-    bad = lines.filter(F.col("extracted_text") != F.col("text")).count()
-    assert bad == 0
-    assert lines.count() == small_pages.count()
+    from log_ship_elastic_postfix_spark.sources.pages import (
+        text_invariant_violations)
+    assert text_invariant_violations(small_pages).count() == 0
+    assert pages_to_lines(small_pages).count() == small_pages.count()
 
 
 def test_golden_mail_log_slice(spark):
