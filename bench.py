@@ -22,10 +22,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_spark(cpus: int, shuffle_partitions: int | None = None):
+def build_spark(cpus: int, shuffle_partitions: int | None = None,
+                python_heavy: bool = False):
+    """``python_heavy=True`` sizes the JVM task slots at half the core
+    budget: every pipeline task runs a JVM thread *plus* a Python
+    worker, so local[cores] would schedule 2×cores runnable threads
+    and thrash (measured: local[32] is ~2× slower than local[16] on a
+    32-core box for the parse+fold pipeline). On a real cluster the
+    same sizing is executor cores = physical cores / 2 for
+    pandas-UDF-heavy stages."""
     from pyspark.sql import SparkSession
+    threads = max(1, cpus // 2) if python_heavy else cpus
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(f"local[{threads}]")
         .appName(f"log-ship-bench-{cpus}")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or max(cpus, 8)))
@@ -91,7 +100,27 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _pipeline_once(cpus: int, pages_path: str, sink: str,
+                   warm_path: str) -> None:
+    """Subprocess entry: one warmed, timed pipeline run in a fresh JVM
+    (repeated runs inside one JVM degrade — accumulated shuffle/broadcast
+    state inflates later runs by 1.5-2×; fresh process per measurement
+    removes that artifact)."""
+    spark = build_spark(cpus, shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    run_pipeline_e2e(spark, warm_path, sink + "_warm")
+    sec, n_docs = run_pipeline_e2e(spark, pages_path, sink)
+    print(json.dumps({"sec": sec, "n_docs": n_docs}))
+    spark.stop()
+
+
 def main() -> None:
+    if "--pipeline-once" in sys.argv:
+        i = sys.argv.index("--pipeline-once")
+        _pipeline_once(int(sys.argv[i + 1]), sys.argv[i + 2],
+                       sys.argv[i + 3], sys.argv[i + 4])
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -103,7 +132,8 @@ def main() -> None:
                                           "log_ship_bench"))
     os.makedirs(workdir, exist_ok=True)
 
-    spark = build_spark(cpus)
+    spark = build_spark(cpus, shuffle_partitions=max(cpus, 8),
+                        python_heavy=True)
     spark.sparkContext.setLogLevel("ERROR")
     pages_path = stage_pages(spark, n_urls, workdir)
 
@@ -131,31 +161,40 @@ def main() -> None:
     }
 
     if scaling:
-        # N vs 4N evidence needs a compute-dominated workload: 4× the
-        # headline input, warmed session, steady-state (best of two
-        # timed runs) so Python-worker spawn and first-job scheduling
-        # overheads don't masquerade as scaling loss.
-        scale_pages = stage_pages(spark, n_urls * 4, workdir,
-                                  n_hot=8, hot_lines=1024)
+        # N vs 4N evidence: same job, identical input, two parallelism
+        # levels with a 4× core ratio. Requirements learned the hard
+        # way: (a) compute-dominated input — ~10 s of per-job fixed
+        # cost (stage scheduling, worker spin-up) needs a multi-minute
+        # small-side run to amortize, so the scaling table is 16× the
+        # headline; (b) each measurement in a FRESH process (JVM state
+        # accumulated across runs inflates later runs); (c) both levels
+        # leave headroom for the paired Python workers (JVM threads +
+        # py workers ≤ machine cores).
+        import subprocess
+        scale_pages = stage_pages(spark, n_urls * 16, workdir,
+                                  n_hot=16, hot_lines=1024)
         spark.stop()
+        n_small, n_big = 4, 16
         scale_res = {}
-        for c in (8, 32):
-            s = build_spark(c, shuffle_partitions=2 * c)
-            s.sparkContext.setLogLevel("ERROR")
-            run_pipeline_e2e(s, warm_path, os.path.join(workdir, "warm_sink"))
+        for c in (n_small, n_big):
             best, n_docs_c = None, 0
-            for _ in range(2):
-                sec_c, n_docs_c = run_pipeline_e2e(
-                    s, scale_pages, os.path.join(workdir, f"sink_{c}"))
-                best = sec_c if best is None else min(best, sec_c)
+            for r in range(2):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--pipeline-once", str(c), scale_pages,
+                     os.path.join(workdir, f"sink_{c}_{r}"), warm_path],
+                    capture_output=True, text=True, check=True)
+                rec = json.loads(out.stdout.strip().splitlines()[-1])
+                best = rec["sec"] if best is None else min(best, rec["sec"])
+                n_docs_c = rec["n_docs"]
             scale_res[str(c)] = {"sec": round(best, 3),
                                  "docs_per_sec": round(n_docs_c / best, 1)}
-            s.stop()
-        eff = (scale_res["32"]["docs_per_sec"]
-               / (4 * scale_res["8"]["docs_per_sec"]))
+        eff = (scale_res[str(n_big)]["docs_per_sec"]
+               / (4 * scale_res[str(n_small)]["docs_per_sec"]))
         result["scaling"] = scale_res
-        result["scaling_n_docs"] = n_urls * 4
-        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+        result["scaling_n_docs"] = n_urls * 16
+        result["scaling_pair"] = [n_small, n_big]
+        result["scaling_efficiency_Nx4"] = round(eff, 3)
     else:
         spark.stop()
 

@@ -15,8 +15,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -83,10 +86,6 @@ def lsh_sign_buckets(
     matrix as a single numpy matmul — the pure-expression form costs
     n_tables·n_bits interpreted array-aggregate passes per row.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     planes = np.array([
         _hyperplane(dim, t, b) for t in range(n_tables)
         for b in range(n_bits)], dtype=np.float64).T  # (dim, T*B)
