@@ -101,12 +101,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _pipeline_once(cpus: int, pages_path: str, sink: str,
-                   warm_path: str) -> None:
+                   warm_path: str, shuffle_partitions: int = 0) -> None:
     """Subprocess entry: one warmed, timed pipeline run in a fresh JVM
     (repeated runs inside one JVM degrade — accumulated shuffle/broadcast
     state inflates later runs by 1.5-2×; fresh process per measurement
-    removes that artifact)."""
-    spark = build_spark(cpus, shuffle_partitions=2 * cpus)
+    removes that artifact).
+
+    ``shuffle_partitions`` must be sized by DATA VOLUME, not core
+    count: the fold materializes one pandas frame per shuffle
+    partition, so partitions must stay ~100-200k rows regardless of
+    parallelism (the cluster analog: AQE advisory partition size)."""
+    spark = build_spark(cpus,
+                        shuffle_partitions=shuffle_partitions or 2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
     run_pipeline_e2e(spark, warm_path, sink + "_warm")
     sec, n_docs = run_pipeline_e2e(spark, pages_path, sink)
@@ -117,8 +123,9 @@ def _pipeline_once(cpus: int, pages_path: str, sink: str,
 def main() -> None:
     if "--pipeline-once" in sys.argv:
         i = sys.argv.index("--pipeline-once")
+        sp = int(sys.argv[i + 5]) if len(sys.argv) > i + 5 else 0
         _pipeline_once(int(sys.argv[i + 1]), sys.argv[i + 2],
-                       sys.argv[i + 3], sys.argv[i + 4])
+                       sys.argv[i + 3], sys.argv[i + 4], sp)
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -175,6 +182,10 @@ def main() -> None:
                                   n_hot=16, hot_lines=1024)
         spark.stop()
         n_small, n_big = 4, 16
+        # equal, data-sized partitioning at both levels (~135k rows per
+        # fold partition) — the comparison then measures compute
+        # scaling, not partition-size effects
+        sp = max(4 * n_big, (n_urls * 16 * 4) // 150_000)
         scale_res = {}
         for c in (n_small, n_big):
             best, n_docs_c = None, 0
@@ -182,7 +193,8 @@ def main() -> None:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--pipeline-once", str(c), scale_pages,
-                     os.path.join(workdir, f"sink_{c}_{r}"), warm_path],
+                     os.path.join(workdir, f"sink_{c}_{r}"), warm_path,
+                     str(sp)],
                     capture_output=True, text=True, check=True)
                 rec = json.loads(out.stdout.strip().splitlines()[-1])
                 best = rec["sec"] if best is None else min(best, rec["sec"])

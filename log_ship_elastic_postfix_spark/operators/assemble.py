@@ -257,16 +257,21 @@ def _fold_partition_factory(order_cols: list[str], group_cols: list[str],
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        cols = [c for c in group_cols + order_cols if c in pdf.columns]
-        pdf = pdf.sort_values(cols, kind="mergesort")
-        # Arrow hands nullable strings to pandas as object/None already;
-        # no astype copy needed
-        records = pdf.to_dict("records")
+        sort_cols = [c for c in group_cols + order_cols if c in pdf.columns]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # sparse row dicts (skip nulls): most parsed fields are null on
+        # any given line, and fold_lines reads via .get() — building
+        # ~10-entry dicts instead of 27-entry ones is the fold's
+        # biggest constant factor
+        cols = pdf.columns.tolist()
+        key_ix = [cols.index(c) for c in group_cols]
+        col_vals = [pdf[c].tolist() for c in cols]
+        keyf = ((lambda row: row[key_ix[0]]) if len(key_ix) == 1
+                else (lambda row: tuple(row[i] for i in key_ix)))
         out: list[dict] = []
-        keyf = (lambda r: r["qid"]) if group_cols == ["qid"] else \
-            (lambda r: tuple(r[c] for c in group_cols))
-        for _, grp in igroupby(records, key=keyf):
-            rows = list(grp)
+        for _, grp in igroupby(zip(*col_vals), key=keyf):
+            rows = [{c: v for c, v in zip(cols, row) if v is not None}
+                    for row in grp]
             seed = None
             if rows and rows[0].get("_seed_json"):
                 seed = json.loads(rows[0]["_seed_json"])
