@@ -117,6 +117,71 @@ def q_sessionize(spark, sf_dir):
     ))
 
 
+def q_sessionize_events_list(spark, sf_dir):
+    """The ordered-event-assembly shape of the fold as an
+    SQL-checkable aggregate: per key, the full event-type sequence in
+    (ts, event_id) order — the per-qid events array analog."""
+    e = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type"))))
+    return (e.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda x: x["event_type"]), ",")
+        .alias("event_seq"),
+        F.count(F.lit(1)).alias("n_events")))
+
+
+def q_dedup_first_wins(spark, sf_dir):
+    """First-queued-wins + exact-duplicate suppression as a relational
+    check: per user, count of distinct (event_type, value) pairs — the
+    dedup-by-content analog (A11) — plus the first purchase id."""
+    e = _t(spark, sf_dir, "events")
+    first_purchase = F.min(F.when(
+        F.col("event_type") == "purchase", F.col("event_id")))
+    return (e.groupBy("user_id").agg(
+        F.countDistinct(F.col("event_type"),
+                        F.floor(F.col("value") * 100)).alias("n_distinct_events"),
+        first_purchase.alias("first_purchase_id")))
+
+
+def q_multi_join_enrich(spark, sf_dir):
+    """Multi-hop broadcast enrich chain (customer→nation→region) with
+    an exact-integer revenue rollup — the J2 chain at TPC-H shape."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                 .alias("revenue_c"))
+            .orderBy("region"))
+
+
+def q_rollup_counts(spark, sf_dir):
+    """Hierarchical rollup (date × event_type) — grouping-sets shape
+    the reference lacks (SURVEY §2.4 N/A row), exact counts."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
+    return (e.rollup("d", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce(F.col("d"), F.lit("ALL")).alias("d"),
+                    F.coalesce(F.col("event_type"), F.lit("ALL"))
+                    .alias("event_type"), "n"))
+
+
+def q_text_quality_full(spark, sf_dir):
+    """Extended quality metrics: punctuation ratio + bpe-ish subword
+    token count (regexp token classes), both engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.punct_ratio(F.col("text")).alias("punct_ratio"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
 def q_first_event_wins(spark, sf_dir):
     """First-value-by-order semantics (the first-queued-wins analog,
     reference lib/postfix-doc.js:272-278) as a window rank."""
@@ -304,6 +369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "date_route_counts": q_date_route_counts,
         "sessionize": q_sessionize,
+        "sessionize_events_list": q_sessionize_events_list,
+        "dedup_first_wins": q_dedup_first_wins,
+        "multi_join_enrich": q_multi_join_enrich,
+        "rollup_counts": q_rollup_counts,
+        "text_quality_full": q_text_quality_full,
         "first_event_wins": q_first_event_wins,
         "lookup_join": q_lookup_join,
         "broadcast_enrich": q_broadcast_enrich,
@@ -366,6 +436,45 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchases, "
             "string_agg(distinct event_type, ',' order by event_type) as event_types "
             "from events group by user_id"
+        ),
+        "sessionize_events_list": (
+            "select user_id, "
+            "string_agg(event_type, ',' order by ts, event_id) as event_seq, "
+            "count(*) as n_events from events group by user_id"
+        ),
+        "dedup_first_wins": (
+            "select user_id, "
+            "count(distinct event_type || '|' || "
+            "cast(cast(floor(value * 100) as bigint) as varchar)) "
+            "as n_distinct_events, "
+            "min(case when event_type = 'purchase' then event_id end) "
+            "as first_purchase_id "
+            "from events group by user_id"
+        ),
+        "multi_join_enrich": (
+            "select r_name as region, count(*) as n_orders, "
+            "cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint) "
+            "as revenue_c "
+            "from orders o join customer c on o.o_custkey = c.c_custkey "
+            "join nation n on c.c_nationkey = n.n_nationkey "
+            "join region r on n.n_regionkey = r.r_regionkey "
+            "group by 1 order by 1"
+        ),
+        "rollup_counts": (
+            "select coalesce(d, 'ALL') as d, "
+            "coalesce(event_type, 'ALL') as event_type, count(*) as n "
+            "from (select strftime(ts, '%Y-%m-%d') as d, event_type "
+            "from events) group by rollup(d, event_type)"
+        ),
+        "text_quality_full": (
+            "select doc_id, "
+            "case when length(text) > 0 then "
+            "cast(length(regexp_replace(text, "
+            "'[^!-/:-@\\[-`{-~]', '', 'g')) as double) / length(text) "
+            "else 0.0 end as punct_ratio, "
+            "cast(len(regexp_extract_all(lower(text), "
+            "'[a-z]{1,4}|\\d|[^\\sa-z\\d]')) as bigint) as n_bpe_tokens "
+            "from documents"
         ),
         "first_event_wins": (
             "select user_id, event_id as first_event_id, "

@@ -199,12 +199,12 @@ def fold_lines(rows: Iterable[dict], seed: Optional[dict] = None) -> Optional[di
     Also serves as the test oracle.
     """
     rows = list(rows)
+    root_keys = ("qid", "host", "date", "isFinal", "from", "size", "nrcpt",
+                 "uid", "delay", "delays", "message-id", "resent-message-id")
     doc: Optional[dict] = None
     events: list[dict] = []
     if seed is not None:
-        doc = {k: seed.get(k) for k in (
-            "qid", "host", "date", "isFinal", "from", "size", "nrcpt", "uid",
-            "delay", "delays", "message-id", "resent-message-id")}
+        doc = {k: seed.get(k) for k in root_keys}
         events = [dict(e) for e in (seed.get("events") or [])]
     for lo in rows:
         if doc is None:
@@ -213,6 +213,8 @@ def fold_lines(rows: Iterable[dict], seed: Optional[dict] = None) -> Optional[di
         _dispatch(doc, lo, events)
     if doc is None:
         return None
+    for k in root_keys:  # canonical shape: every root key present
+        doc.setdefault(k, None)
     doc["events"] = events
     doc["n_events"] = len(events)
     return doc
