@@ -99,8 +99,44 @@ def _event_key(e: dict) -> tuple:
     return tuple(sorted((k, v) for k, v in e.items() if v is not None))
 
 
-def _add_event(events: list[dict], e: dict) -> None:
-    """Reference addEvent: first-queued-wins + exact-dup suppression."""
+class _EventAcc:
+    """Ordered event list with O(1) duplicate suppression.
+
+    The reference's addEvent scans the whole list per append
+    (lib/postfix-doc.js:271-292) — O(n²) per doc, which detonates on
+    hot keys (a 100k-event relay doc needs 5×10⁹ comparisons). Same
+    semantics, constant-time membership via a key set."""
+
+    __slots__ = ("events", "seen", "has_queued")
+
+    def __init__(self, events: Optional[list[dict]] = None):
+        self.events: list[dict] = []
+        self.seen: set = set()
+        self.has_queued = False
+        for e in events or []:
+            self.append(e)
+
+    def append(self, e: dict) -> None:
+        e = {k: v for k, v in e.items()
+             if v is not None and k not in ("qid", "host", "prog")}
+        if e.get("action") == "queued":
+            if self.has_queued:
+                return
+        key = _event_key(e)
+        if key in self.seen:
+            return
+        self.seen.add(key)
+        if e.get("action") == "queued":
+            self.has_queued = True
+        self.events.append(e)
+
+
+def _add_event(events, e: dict) -> None:
+    """Reference addEvent: first-queued-wins + exact-dup suppression.
+    Accepts an _EventAcc (fast path) or a plain list (compat)."""
+    if isinstance(events, _EventAcc):
+        events.append(e)
+        return
     e = {k: v for k, v in e.items()
          if v is not None and k not in ("qid", "host", "prog")}
     if e.get("action") == "queued":
@@ -202,21 +238,21 @@ def fold_lines(rows: Iterable[dict], seed: Optional[dict] = None) -> Optional[di
     root_keys = ("qid", "host", "date", "isFinal", "from", "size", "nrcpt",
                  "uid", "delay", "delays", "message-id", "resent-message-id")
     doc: Optional[dict] = None
-    events: list[dict] = []
+    acc = _EventAcc()
     if seed is not None:
         doc = {k: seed.get(k) for k in root_keys}
-        events = [dict(e) for e in (seed.get("events") or [])]
+        acc = _EventAcc([dict(e) for e in (seed.get("events") or [])])
     for lo in rows:
         if doc is None:
             doc = {"qid": lo["qid"], "host": lo.get("host"),
                    "date": lo.get("date"), "isFinal": False}
-        _dispatch(doc, lo, events)
+        _dispatch(doc, lo, acc)
     if doc is None:
         return None
     for k in root_keys:  # canonical shape: every root key present
         doc.setdefault(k, None)
-    doc["events"] = events
-    doc["n_events"] = len(events)
+    doc["events"] = acc.events
+    doc["n_events"] = len(acc.events)
     return doc
 
 
@@ -395,11 +431,11 @@ def assemble_salted(
             if r["events"] is not None:
                 cand.extend(list(r["events"]))
         cand.sort(key=lambda e: e["line_no"])
-        events: list[dict] = []
+        acc = _EventAcc()
         for e in cand:
-            _add_event(events, {f: e.get(f) for f in EVENT_FIELDS})
-        doc["events"] = events
-        doc["n_events"] = len(events)
+            acc.append({f: e.get(f) for f in EVENT_FIELDS})
+        doc["events"] = acc.events
+        doc["n_events"] = len(acc.events)
         return _doc_to_row(doc)
 
     def merge_partition(batches):
