@@ -33,6 +33,23 @@ NOW = dt.datetime(2024, 8, 1)
 
 _STOPS = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
 
+# exact all-pairs word-3-gram Jaccard ≥ 0.5 over documents — ground
+# truth for both LSH near-dup paths (shingle semantics mirror
+# operators.dedup.shingles: normalized text, distinct 3-grams)
+_JACCARD_PAIRS_SQL = (
+    "with t as (select doc_id, string_split(trim(regexp_replace("
+    "lower(text), '\\s+', ' ', 'g')), ' ') as toks from documents), "
+    "s as (select doc_id, list_distinct(list_transform("
+    "range(greatest(len(toks) - 2, 0)), "
+    "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) as sh "
+    "from t), "
+    "p as (select a.doc_id as id_a, b.doc_id as id_b, "
+    "round(len(list_intersect(a.sh, b.sh))::double / "
+    "nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6) as jaccard "
+    "from s a join s b on a.doc_id < b.doc_id) "
+    "select id_a, id_b, jaccard from p where jaccard >= 0.5"
+)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -234,15 +251,25 @@ def q_agg_lineitem(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: identical normalized text → keeper + members."""
-    d = _t(spark, sf_dir, "documents")
+    """Exact dedup: identical normalized text → keeper + members.
+
+    The driver's documents table has no exact duplicates (round 1 was
+    vacuously green at 0 rows), so the corpus is the table UNIONed with
+    deterministic planted copies (doc_id<30 re-emitted at +10000) —
+    both engines plant identically, and the query must find exactly
+    those groups."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.filter(F.col("doc_id") < 30)
+               .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    un = d.unionByName(planted)
     norm = dedup.normalize_text(F.col("text"))
-    return (d.select(F.col("doc_id"), norm.alias("norm"))
+    return (un.select(F.col("doc_id"), norm.alias("norm"))
             .groupBy("norm")
             .agg(F.min("doc_id").alias("keeper_id"),
                  F.count(F.lit(1)).alias("group_size"),
-                 F.array_join(F.array_sort(F.collect_list(
-                     F.col("doc_id").cast("string"))), ",").alias("member_ids"))
+                 F.array_join(F.transform(
+                     F.sort_array(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")), ",").alias("member_ids"))
             .filter(F.col("group_size") > 1)
             .select("keeper_id", "group_size", "member_ids"))
 
@@ -315,26 +342,94 @@ def q_ann_topk_dot(spark, sf_dir):
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (rows-only: hash-family specific)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+
+    Oracle-checked against the exact all-pairs 3-gram Jaccard set:
+    precision is exact by construction (every candidate is verified),
+    so equality holds iff LSH recall is 1.0 on this corpus — the
+    recall check the round-1 verdict asked for, as a value-hash
+    equality instead of a separate metric."""
     d = _t(spark, sf_dir, "documents")
     return (dedup.near_duplicates_minhash(d, threshold=0.5)
             .orderBy("id_a", "id_b"))
 
 
 def q_simhash_neardup(spark, sf_dir):
+    """SimHash-sliced candidates → exact-Jaccard verify (same oracle
+    as the minhash path; the two candidate generators are directly
+    comparable). The raw hamming-distance variant stays pytest-covered
+    (tests/test_dedup_similarity.py)."""
     d = _t(spark, sf_dir, "documents")
-    return (dedup.simhash_near_duplicates(d, max_hamming=8)
-            .orderBy("id_a", "id_b"))
+    return (dedup.simhash_verified_near_duplicates(
+        d, threshold=0.5, n_tables=8)
+        .orderBy("id_a", "id_b"))
 
 
 def q_embedding_neardup(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(e, threshold=0.8)
+    """Embedding-cosine near-dups over the embeddings table UNIONed
+    with deterministic planted copies: vec_id<20 verbatim (+100000,
+    cosine 1.0) and 20≤vec_id<40 with the last dimension negated
+    (cosine spread ~0.82-0.9997; a few fall below the 0.8 threshold —
+    both engines compute the same exact cosines, so the disagreement
+    surface is recall only). Round 1 returned 0 rows with no oracle."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = (e.filter(F.col("vec_id") < 40)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.when(F.col("vec_id") < 20, F.col("embedding"))
+                       .otherwise(F.transform(
+                           F.col("embedding"),
+                           lambda x, i: F.when(i == 63, -x).otherwise(x)))
+                       .alias("embedding")))
+    un = e.unionByName(planted)
+    return (similarity.embedding_near_duplicates(
+        un, threshold=0.8, n_tables=16, n_bits=3)
+        .orderBy("id_a", "id_b"))
 
 
 def q_ann_cosine_lsh(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
-    return similarity.ann_topk(e, k=5)
+    """LSH-bucketed ANN top-5 (cosine) for query ids < 50, oracle-
+    checked against the exact brute-force top-5. The corpus is
+    near-uniform random (max pairwise cosine ≈0.51), the adversarial
+    case for sign-LSH, so reaching recall 1.0 needs a wide
+    low-resolution config (32 tables × 1 bit) — on clustered real
+    embeddings the same operator runs 8×8. Scores round to 6 dp in
+    both engines (verified bit-equal); ranking ties break on nbr_id."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    qs = e.filter(F.col("vec_id") < 50)
+    return similarity.ann_topk(e, k=5, n_tables=32, n_bits=1, queries=qs)
+
+
+def q_typed_sink_projection(spark, sf_dir):
+    """S7 typed sink schema: all-string doc fields → index-map types
+    (date→timestamp, delay/nrcpt→float, size→double,
+    /root/reference/index-map-template.json:5-18) via
+    operators.sink_schema.apply_sink_types. Inputs are deterministic
+    doc-shaped strings built from the events table; outputs are the
+    typed values re-projected hash-safely (epoch seconds / exact
+    binary fractions)."""
+    from log_ship_elastic_postfix_spark.operators import sink_schema
+
+    e = _t(spark, sf_dir, "events")
+    docs = e.select(
+        "event_id",
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                 F.lit("+00:00")).alias("date"),
+        F.concat(F.floor(F.col("value") * 1000).cast("long").cast("string"),
+                 F.lit("e-3")).alias("delay"),
+        F.concat(F.floor(F.col("value") * 100).cast("long").cast("string"),
+                 F.lit(".25")).alias("size"),
+        (F.col("user_id") % 5 + 1).cast("string").alias("nrcpt"),
+    )
+    typed = sink_schema.apply_sink_types(docs)
+    return typed.select(
+        "event_id",
+        F.col("date").cast("long").alias("date_epoch"),
+        F.col("delay").cast("double").alias("delay_f"),
+        F.col("size").alias("size_d"),
+        F.col("nrcpt").cast("int").alias("nrcpt_i"),
+    )
 
 
 def _pages_docs(spark, n_urls=1000):
@@ -390,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "typed_sink_projection": q_typed_sink_projection,
         "pipeline_docs": q_pipeline_docs,
         "pipeline_sink_counts": q_pipeline_sink_counts,
     }
@@ -506,8 +602,11 @@ def oracle_sql() -> dict[str, str]:
             "group by 1, 2 order by 1, 2"
         ),
         "dedup_exact": (
-            "with n as (select doc_id, trim(regexp_replace(lower(text), "
-            "'\\s+', ' ', 'g')) as norm from documents) "
+            "with u as (select doc_id, text from documents "
+            " union all select doc_id + 10000, text from documents "
+            " where doc_id < 30), "
+            "n as (select doc_id, trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')) as norm from u) "
             "select min(doc_id) as keeper_id, count(*) as group_size, "
             "string_agg(cast(doc_id as varchar), ',' order by doc_id) as member_ids "
             "from n group by norm having count(*) > 1"
@@ -559,5 +658,77 @@ def oracle_sql() -> dict[str, str]:
             "order by dot desc, nbr_id asc) as rank from scored) "
             "select query_id, nbr_id, dot, cast(rank as int) as rank "
             "from ranked where rank <= 5"
+        ),
+        # exact all-pairs 3-gram Jaccard ≥ 0.5 — the ground truth both
+        # LSH candidate generators (minhash bands, simhash slices) must
+        # reproduce exactly: verified precision is exact by
+        # construction, so hash-equality == recall 1.0
+        "minhash_neardup": _JACCARD_PAIRS_SQL,
+        "simhash_neardup": _JACCARD_PAIRS_SQL,
+        "embedding_neardup": (
+            "with base as (select vec_id, embedding::double[] as v "
+            "from embeddings), "
+            "plant as (select vec_id + 100000 as vec_id, "
+            " case when vec_id < 20 then v else list_transform(v, "
+            " (x, i) -> case when i = 64 then -x else x end) end as v "
+            " from base where vec_id < 40), "
+            "u as (select * from base union all select * from plant), "
+            "pairs as (select a.vec_id as id_a, b.vec_id as id_b, "
+            " round(list_dot_product(a.v, b.v) / "
+            " (sqrt(list_dot_product(a.v, a.v)) * "
+            "  sqrt(list_dot_product(b.v, b.v))), 6) as score "
+            " from u a join u b on a.vec_id < b.vec_id) "
+            "select id_a, id_b, score from pairs where score >= 0.8"
+        ),
+        "ann_cosine_lsh": (
+            "with e as (select vec_id, embedding::double[] as v "
+            "from embeddings), "
+            "scored as (select a.vec_id as query_id, b.vec_id as nbr_id, "
+            " round(list_dot_product(a.v, b.v) / "
+            " (sqrt(list_dot_product(a.v, a.v)) * "
+            "  sqrt(list_dot_product(b.v, b.v))), 6) as score "
+            " from e a join e b on a.vec_id < 50 and a.vec_id != b.vec_id), "
+            "r as (select *, row_number() over (partition by query_id "
+            "order by score desc, nbr_id asc) as rank from scored) "
+            "select query_id, nbr_id, score, rank::int as rank "
+            "from r where rank <= 5"
+        ),
+        "typed_sink_projection": (
+            "select event_id, "
+            "epoch(date_trunc('second', ts))::bigint as date_epoch, "
+            "((cast(floor(value * 1000) as bigint)::varchar || 'e-3')"
+            "::real)::double as delay_f, "
+            "(cast(floor(value * 100) as bigint)::varchar || '.25')"
+            "::double as size_d, "
+            "((user_id % 5 + 1)::varchar::real)::int as nrcpt_i "
+            "from events"
+        ),
+        # closed-form oracle for the flagship pipeline: the synthetic
+        # pages corpus is deterministic (datagen.py scenarios), so the
+        # assembled per-url docs have a closed form both engines can
+        # compute — n_events per lifecycle scenario, +64 hot smtp
+        # events for the 2 planted hot urls, isFinal except the
+        # still-open scenario, host/date derived from uidx
+        "pipeline_docs": (
+            "with u as (select range::bigint as uidx from range(1000)) "
+            "select '3' || to_base(uidx, 36) || 'zXy' as qid, "
+            "case when uidx < 2 then 'mx1' "
+            " else 'mx' || (uidx % 8 + 1) end as host, "
+            "(uidx % 10 != 8) as \"isFinal\", "
+            "([3,3,3,4,3,4,2,3,2,2][(uidx % 10)::int + 1] "
+            " + case when uidx < 2 then 64 else 0 end)::bigint as n_events, "
+            "'postfix-orphan' as sink, "
+            "'2024-07-' || (24 + uidx % 3) as route_date "
+            "from u"
+        ),
+        "pipeline_sink_counts": (
+            "with u as (select range::bigint as uidx from range(1000)), "
+            "e as (select [3,3,3,4,3,4,2,3,2,2][(uidx % 10)::int + 1] "
+            " + case when uidx < 2 then 64 else 0 end as ne, "
+            " (uidx % 10 != 8) as fin from u) "
+            "select 'postfix-orphan' as sink, "
+            "count(*)::bigint as doc_count, sum(ne)::bigint as event_count, "
+            "sum(case when fin then 1 else 0 end)::bigint as final_count "
+            "from e"
         ),
     }

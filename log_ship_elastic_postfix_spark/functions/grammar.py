@@ -36,10 +36,12 @@ ENVELOPE_RE = (
 PROG_FILTER_RE = r"^(postfix|rspamd|rmilter)"
 
 # postfix queue-id at the head of msg: "3mPVKl0Mhjz7sXv: rest".
-# Queue ids (short hex or long base-52 form) always contain a digit;
-# the lookahead keeps free-form prefixes like "statistics:" from
-# masquerading as ids (scache statistics lines are qid-less).
-QID_RE = r"^(?=[0-9A-Za-z]*\d)([0-9A-Za-z]+):\s"
+# Accepted shapes: any alnum token containing a digit (long base-52
+# ids always do), OR an all-uppercase-hex/base31 token (short-format
+# ids like DEADBEEF are legitimately digit-less). Free-form prefixes
+# ("statistics:", "warning:") are lowercase words with no digit, so
+# neither alternative matches — scache statistics lines stay qid-less.
+QID_RE = r"^((?:(?=[0-9A-Za-z]*\d)[0-9A-Za-z]+)|(?:[0-9A-Z]+)):\s"
 MSG_REST_RE = r"^[0-9A-Za-z]+:\s(.*)$"
 
 

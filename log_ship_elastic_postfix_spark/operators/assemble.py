@@ -48,6 +48,10 @@ from pyspark.sql.types import (ArrayType, BooleanType, LongType, StringType,
 EVENT_FIELDS = [
     "date", "action", "from", "to", "relay", "delay", "delays", "dsn",
     "status", "message", "msg", "score", "spam_scan", "virus_scan", "dkim",
+    # the reference strips ONLY qid/host/prog from events
+    # (lib/postfix-doc.js:280-282); queue_id (rmilter/rspamd) and uid
+    # (pickup replay path) stay visible inside event bodies
+    "queue_id", "uid",
 ]
 
 EVENT_TYPE = StructType([StructField(f, StringType()) for f in EVENT_FIELDS])
@@ -74,25 +78,29 @@ _HOIST_SMTP = ("delay", "delays")
 _HOIST_QMGR = ("from", "size", "nrcpt")
 _COPY_CLEANUP = ("message-id", "resent-message-id")
 
-# partial (phase-1) schema for the salted fold: candidate events keep
-# their line_no; root-hoist candidates keep the line_no that set them
-_PARTIAL_EVENT_TYPE = StructType(
-    [StructField("line_no", LongType())]
-    + [StructField(f, StringType()) for f in EVENT_FIELDS]
-)
-_PARTIAL_SCHEMA = StructType([
-    StructField("qid", StringType(), False),
-    StructField("min_line_no", LongType()),
-    StructField("host", StringType()),
-    StructField("date", StringType()),
-    StructField("isFinal", BooleanType()),
-    StructField("root_sets", ArrayType(StructType([
-        StructField("line_no", LongType()),
-        StructField("field", StringType()),
-        StructField("value", StringType()),
-    ]))),
-    StructField("events", ArrayType(_PARTIAL_EVENT_TYPE)),
-])
+# partial (phase-1) schema for the salted fold: candidate events and
+# root-hoist records carry the FULL composite order key (one _o<i>
+# column per order col — batch_seq AND line_no by default, so
+# multi-batch input merges in the same global order as the unsalted
+# fold; round-1 bug: ordering by line_no alone broke the ≡ contract
+# whenever line_no was not globally ordering-defining)
+def _partial_schema(order_cols: list[str]) -> StructType:
+    okeys = [StructField(f"_o{i}", LongType())
+             for i in range(len(order_cols))]
+    event_type = StructType(
+        okeys + [StructField(f, StringType()) for f in EVENT_FIELDS])
+    root_type = StructType(
+        okeys + [StructField("field", StringType()),
+                 StructField("value", StringType())])
+    return StructType(
+        [StructField("qid", StringType(), False)]
+        + [StructField(f"_min_o{i}", LongType())
+           for i in range(len(order_cols))]
+        + [StructField("host", StringType()),
+           StructField("date", StringType()),
+           StructField("isFinal", BooleanType()),
+           StructField("root_sets", ArrayType(root_type)),
+           StructField("events", ArrayType(event_type))])
 
 
 def _event_key(e: dict) -> tuple:
@@ -203,7 +211,9 @@ def _dispatch(doc: dict, lo: dict, events: list[dict]) -> None:
     if prog == "postfix/local":
         _add_event(events, _event_fields_only(lo))
         return
-    if prog.startswith("rmilter") or prog.startswith("rspamd"):
+    if prog.startswith("rmilter"):
+        # rmilter-only action synthesis (lib/postfix-doc.js:233-255) —
+        # the reference never applies these to rspamd lines
         lo = dict(lo)
         if lo.get("spam_scan") is not None:
             lo["action"] = f"rmilter_spam_{lo['spam_scan']}"
@@ -211,8 +221,15 @@ def _dispatch(doc: dict, lo: dict, events: list[dict]) -> None:
             lo["action"] = f"rmilter_virus_{lo['virus_scan']}"
         if lo.get("dkim") is not None:
             lo["action"] = f"rmilter_dkim_{lo['dkim']}"
-        if prog.startswith("rspamd") and lo.get("action") is None and (
-                lo.get("score") is not None):
+        if lo.get("raw_msg") is not None:
+            lo["msg"] = lo["raw_msg"]
+        _add_event(events, _event_fields_only(lo))
+        return
+    if prog.startswith("rspamd"):
+        # rspamd rule (lib/postfix-doc.js:257-269): default action only
+        # when a scan result (score) is present and no action was parsed
+        lo = dict(lo)
+        if lo.get("action") is None and lo.get("score") is not None:
             lo["action"] = "rspamd_scan_result"
         if lo.get("raw_msg") is not None:
             lo["msg"] = lo["raw_msg"]
@@ -360,12 +377,19 @@ def assemble_salted(
     from itertools import groupby as igroupby
 
     order_cols = order_cols or ["batch_seq", line_no_col]
+    n_ord = len(order_cols)
+    okeys = [f"_o{i}" for i in range(n_ord)]
+    mkeys = [f"_min_o{i}" for i in range(n_ord)]
     salted = parsed.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(line_no_col)), F.lit(n_salts)).cast("int"))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]),
+                        F.lit(n_salts)).cast("int"))
+
+    def _okey(lo: dict) -> tuple:
+        return tuple(int(lo[c]) for c in order_cols)
 
     def _partial_group(rows: list[dict]) -> dict:
         qid = rows[0]["qid"]
-        min_line = int(rows[0][line_no_col])
+        min_ord = _okey(rows[0])
         host, date = rows[0].get("host"), rows[0].get("date")
         is_final = False
         root_sets: list[dict] = []
@@ -374,21 +398,23 @@ def assemble_salted(
             doc: dict = {}
             evs: list[dict] = []
             _dispatch(doc, lo, evs)
-            ln = int(lo[line_no_col])
+            ok = _okey(lo)
+            oitems = dict(zip(okeys, ok))
             if doc.pop("isFinal", False):
                 is_final = True
             for k, v in doc.items():
                 if k == "qid":
                     continue
-                root_sets.append({"line_no": ln, "field": k,
+                root_sets.append({**oitems, "field": k,
                                   "value": None if v is None else str(v)})
             for e in evs:
                 rec = {f: e.get(f) for f in EVENT_FIELDS}
-                rec["line_no"] = ln
+                rec.update(oitems)
                 events.append(rec)
-        return {"qid": qid, "min_line_no": min_line, "host": host,
-                "date": date, "isFinal": is_final, "root_sets": root_sets,
-                "events": events}
+        out = {"qid": qid, "host": host, "date": date, "isFinal": is_final,
+               "root_sets": root_sets, "events": events}
+        out.update(dict(zip(mkeys, min_ord)))
+        return out
 
     def partial_partition(batches):
         pdfs = list(batches)
@@ -408,29 +434,33 @@ def assemble_salted(
             yield pd.DataFrame(out)
 
     partials = salted.repartition("qid", "_salt").mapInPandas(
-        partial_partition, _PARTIAL_SCHEMA)
+        partial_partition, _partial_schema(order_cols))
+
+    def _ord_of(rec: dict) -> tuple:
+        return tuple(rec[k] for k in okeys)
 
     def _merge_group(rows: list[dict]) -> dict:
-        rows.sort(key=lambda r: r["min_line_no"])
+        rows.sort(key=lambda r: tuple(r[k] for k in mkeys))
         first = rows[0]
         doc = {"qid": first["qid"], "host": first["host"],
                "date": first["date"],
                "isFinal": any(r["isFinal"] for r in rows)}
-        # root hoists: last (max line_no) setter wins, as sequential
+        # root hoists: last (max order-key) setter wins, as sequential
         # dispatch overwrites on every occurrence
         sets: list[dict] = []
         for r in rows:
             if r["root_sets"] is not None:
                 sets.extend(list(r["root_sets"]))  # numpy array from Arrow
-        sets.sort(key=lambda s: s["line_no"])
+        sets.sort(key=_ord_of)
         for s in sets:
             doc[s["field"]] = s["value"]
-        # events: global line order, then the ordered addEvent pass
+        # events: global (batch_seq, line_no) order, then the ordered
+        # addEvent pass
         cand: list[dict] = []
         for r in rows:
             if r["events"] is not None:
                 cand.extend(list(r["events"]))
-        cand.sort(key=lambda e: e["line_no"])
+        cand.sort(key=_ord_of)
         acc = _EventAcc()
         for e in cand:
             acc.append({f: e.get(f) for f in EVENT_FIELDS})

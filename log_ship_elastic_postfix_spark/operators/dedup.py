@@ -7,25 +7,39 @@ standard corpus-dedup toolbox; each operator here is expressible at
 - exact: hash-groupBy on content (one exchange on a 64-bit hash, not
   the full text; keeper = min id — deterministic)
 - MinHash + LSH: shingle → k minhashes → b bands → exchange on
-  (band, band-hash) buckets only; candidate pairs verified by exact
-  Jaccard. No O(n²) stage anywhere.
+  (band, band-hash) buckets only; candidate pairs come from a
+  within-bucket self-join (never ``collect_set`` — a hot bucket must
+  not materialize as one row) and are verified by exact Jaccard.
 - SimHash: 64-bit weighted-projection fingerprint; near-dups collide
-  on 16-bit key slices (pigeonhole over 4 tables).
+  on bit-slice keys (pigeonhole: hamming ≤ n_tables−1 pairs are
+  guaranteed to share ≥1 slice), then exact-verified.
 - n-gram Jaccard: exact verification primitive (used standalone for
   small candidate sets and as the LSH verifier).
 
+Degenerate-input rule (the 100 TB killer): documents too short to
+shingle produce a NULL signature and are **excluded from banding** —
+otherwise every empty doc on the planet shares one signature and one
+mega-bucket per band. Buckets above ``max_bucket_size`` are dropped
+with a logged count (no silent caps): at web scale a bucket with 10⁹
+members is boilerplate collision, not near-duplication, and pairing it
+is O(bucket²).
+
 Physical note: the signature computations (MinHash, SimHash) are
-Arrow-vectorized pandas UDFs with numpy inner loops. A pure-expression
-formulation (k × transform/array_min) re-evaluates the shingle pipeline
-once per signature slot — Catalyst does not share subexpressions across
+Arrow-vectorized pandas UDFs. Shingle hashes are composed from cached
+per-token crc32 values with numpy window mixing — one crc32 per
+*unique token per batch* instead of one per shingle occurrence (the
+measured hot spot of round 1). A pure-expression formulation
+(k × transform/array_min) re-evaluates the shingle pipeline once per
+signature slot — Catalyst does not share subexpressions across
 projection fields — and measured ~100× slower at any scale. The
 banding/bucketing/joins around the signatures stay JVM-side.
-Hash functions are deterministic (crc32 / xxhash64 + universal-hash
-mixing), never Python's salted ``hash``.
+Hash functions are deterministic (crc32 + universal-hash mixing),
+never Python's salted ``hash``.
 """
 
 from __future__ import annotations
 
+import logging
 import zlib
 
 import numpy as np
@@ -34,7 +48,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+log = logging.getLogger(__name__)
+
 _MERSENNE31 = (1 << 31) - 1  # universal-hash field
+
+# default bucket-size cap: pairs-per-bucket stays ≤ ~500k (bounded
+# task time); real near-dup clusters this large are resolved by the
+# exact-dedup pass first, so dropping is safe — and always logged.
+DEFAULT_MAX_BUCKET = 1024
 
 
 def normalize_text(text: Column) -> Column:
@@ -75,85 +96,171 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 # ------------------------------------------------------------- signatures
-def _shingle_set(text: str, n: int) -> set[str]:
-    toks = (text or "").lower().split()
-    if len(toks) < n:
-        return set()
-    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+def _token_hashes(toks: list[str], cache: dict) -> np.ndarray:
+    """crc32 per token, memoized across the Arrow batch (unique tokens
+    ≪ token occurrences in natural text)."""
+    out = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = zlib.crc32(t.encode("utf-8"))
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(th: np.ndarray, n: int, coef: np.ndarray) -> np.ndarray:
+    """Window-mix n consecutive token hashes into one shingle hash
+    (mod 2³¹−1). min/banding over the multiset equals over the set, so
+    no dedup pass is needed (min is idempotent; band hashing uses the
+    per-slot minima only)."""
+    m = len(th) - n + 1
+    acc = np.zeros(m, dtype=np.int64)
+    for j in range(n):
+        acc = (acc + coef[j] * th[j:j + m]) % _MERSENNE31
+    return acc
+
+
+_SHINGLE_COEF = np.array([2654435761 % _MERSENNE31,
+                          0x9E3779B1 % _MERSENNE31,
+                          0x85EBCA77 % _MERSENNE31,
+                          0xC2B2AE3D % _MERSENNE31,
+                          0x27D4EB2F % _MERSENNE31], dtype=np.int64)
 
 
 def minhash_signature(text_col: Column, k: int = 32,
                       n_shingle: int = 3) -> Column:
-    """k minhash values over word n-gram shingles (one Arrow batch pass,
-    numpy (a_i·h + b_i) mod 2³¹−1 with h = crc32(shingle))."""
+    """k minhash values over word n-gram shingles (one Arrow batch
+    pass; numpy (a_i·h + b_i) mod 2³¹−1 over window-mixed token
+    hashes). Documents with fewer than ``n_shingle`` tokens return
+    NULL — callers must exclude them from banding (degenerate-bucket
+    rule in the module docstring)."""
     a = np.array([((2 * i + 1) * 2654435761) % _MERSENNE31 or 1
                   for i in range(k)], dtype=np.int64)
     b = np.array([(i * 0x9E3779B1 + 0x5BD1E995) % _MERSENNE31
                   for i in range(k)], dtype=np.int64)
-    empty = [int(_MERSENNE31)] * k
+    coef = _SHINGLE_COEF[:n_shingle].copy()
 
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
         out = []
         for t in texts:
-            sh = _shingle_set(t, n_shingle)
-            if not sh:
-                out.append(empty)
+            toks = (t or "").lower().split()
+            if len(toks) < n_shingle:
+                out.append(None)
                 continue
-            h = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in sh),
-                            dtype=np.int64, count=len(sh)) % _MERSENNE31
-            vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE31
+            sh = _shingle_hashes(_token_hashes(toks, cache), n_shingle, coef)
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE31
             out.append(vals.min(axis=1).tolist())
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
     return sig(text_col)
 
 
+_BIT_POSITIONS = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = (np.uint64(1) << _BIT_POSITIONS).astype(np.int64)
+
+
 def simhash64(text_col: Column, n_shingle: int = 2) -> Column:
     """64-bit SimHash over word shingles: per-bit majority vote of
-    64-bit shingle hashes (crc32 of the shingle and of its reverse,
-    concatenated), one numpy pass per Arrow batch."""
-    bit_positions = np.arange(64, dtype=np.uint64)
+    64-bit shingle hashes (two independent 31-bit window mixes packed
+    high/low), one numpy pass per Arrow batch. Documents too short to
+    shingle return NULL (see module docstring)."""
+    coef_lo = _SHINGLE_COEF[:n_shingle].copy()
+    coef_hi = np.array([(c * 31 + 17) % _MERSENNE31 for c in coef_lo],
+                       dtype=np.int64)
 
     @pandas_udf("long")
     def sig(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
         out = []
         for t in texts:
-            sh = _shingle_set(t, n_shingle)
-            if not sh:
-                out.append(0)
+            toks = (t or "").lower().split()
+            if len(toks) < n_shingle:
+                out.append(None)
                 continue
-            h = np.fromiter(
-                ((zlib.crc32(s.encode("utf-8"))
-                  | (zlib.crc32(s[::-1].encode("utf-8")) << 32))
-                 for s in sh),
-                dtype=np.uint64, count=len(sh))
-            bits = ((h[:, None] >> bit_positions[None, :]) & 1).astype(np.int64)
+            th = _token_hashes(toks, cache)
+            lo = _shingle_hashes(th, n_shingle, coef_lo).astype(np.uint64)
+            hi = _shingle_hashes(th, n_shingle, coef_hi).astype(np.uint64)
+            h = lo | (hi << np.uint64(32))
+            bits = ((h[:, None] >> _BIT_POSITIONS[None, :]) & 1).astype(np.int64)
             votes = (bits * 2 - 1).sum(axis=0)
-            packed = np.uint64(0)
-            for i in range(64):
-                if votes[i] > 0:
-                    packed |= np.uint64(1) << np.uint64(i)
-            out.append(int(packed.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+            packed = int(((votes > 0).astype(np.int64) * _BIT_WEIGHTS).sum())
+            out.append(packed)
+        return pd.Series(out, dtype=object)
 
     return sig(text_col)
 
 
 # ----------------------------------------------------------------- LSH
+def bucket_join_pairs(
+    exploded: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    *,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    label: str = "lsh",
+) -> DataFrame:
+    """(id, bucket-key…) rows → distinct candidate pairs (id_a < id_b)
+    via a within-bucket self-join.
+
+    Scale shape: one persist of the (id, keys) frame (ints only — the
+    signature UDF runs exactly once), one count-per-bucket aggregation,
+    and a self-join keyed on the bucket — a hot bucket distributes over
+    its join tasks instead of materializing as a single ``collect_set``
+    row. Buckets larger than ``max_bucket_size`` are dropped and the
+    drop is **logged** (no silent caps); at production scale the same
+    frame would land in a temp table instead of a persist.
+
+    The returned pairs frame is eagerly ``localCheckpoint``-ed so the
+    persist can be released before returning (bounded executor
+    memory; pairs are two longs per row).
+    """
+    exploded = exploded.persist()
+    try:
+        sizes = (exploded.groupBy(*key_cols)
+                 .agg(F.count(F.lit(1)).alias("_bsz")))
+        dropped = sizes.filter(F.col("_bsz") > max_bucket_size)
+        n_dropped = dropped.count()
+        if n_dropped:
+            top = dropped.orderBy(F.col("_bsz").desc()).limit(3).collect()
+            log.warning(
+                "%s: dropped %d over-cap buckets (cap=%d, largest=%s) — "
+                "pairs inside them are NOT examined",
+                label, n_dropped, max_bucket_size,
+                [r["_bsz"] for r in top])
+        eligible = exploded.join(
+            sizes.filter((F.col("_bsz") > 1)
+                         & (F.col("_bsz") <= max_bucket_size))
+            .select(*key_cols),
+            key_cols)
+        a = eligible.select(*key_cols, F.col(id_col).alias("id_a"))
+        b = eligible.select(*key_cols, F.col(id_col).alias("id_b"))
+        pairs = (a.join(b, key_cols)
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b")
+                 .distinct())
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        exploded.unpersist()
+
+
 def minhash_lsh_candidates(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     n_shingle: int = 3, k: int = 32, bands: int = 8,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-slice → same bucket → pair.
 
-    Scale path: the only exchange is groupBy(band, band_hash); bucket
-    sizes are bounded by collision rate, and the self-join happens
-    within buckets (b × tiny), never across the corpus.
+    Scale path: the only exchanges are the groupBy/join on
+    (band, band_hash); NULL signatures (un-shingle-able docs) never
+    enter banding, so there is no universal empty-doc bucket.
     """
     rows = k // bands
     sig = minhash_signature(F.col(text_col), k, n_shingle)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    with_sig = (df.select(F.col(id_col), sig.alias("sig"))
+                .filter(F.col("sig").isNotNull()))
     band_cols = []
     for band in range(bands):
         band_slice = F.slice(F.col("sig"), band * rows + 1, rows)
@@ -166,27 +273,9 @@ def minhash_lsh_candidates(
                 .withColumn("bnd", F.explode(F.array(*band_cols)))
                 .select(id_col, F.col("bnd.band").alias("band"),
                         F.col("bnd.bucket").alias("bucket")))
-    buckets = (exploded.groupBy("band", "bucket")
-               .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-               .filter(F.size("ids") > 1))
-    pairs = (buckets
-             .select(F.explode(_pairs_from_sorted("ids")).alias("p"))
-             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-             .distinct())
-    return pairs
-
-
-def _pairs_from_sorted(ids_col: str) -> Column:
-    """All (a<b) pairs from a sorted id array, via nested transform +
-    flatten (built-in, no UDF)."""
-    ids = F.col(ids_col)
-    return F.flatten(F.transform(
-        F.sequence(F.lit(0), F.size(ids) - 2),
-        lambda i: F.transform(
-            F.slice(ids, (i + 2).cast("int"), F.size(ids)),
-            lambda b: F.struct(F.element_at(ids, (i + 1).cast("int")).alias("a"),
-                               b.alias("b"))),
-    ))
+    return bucket_join_pairs(exploded, ["band", "bucket"], id_col,
+                             max_bucket_size=max_bucket_size,
+                             label="minhash-lsh")
 
 
 def jaccard_pairs(
@@ -209,42 +298,86 @@ def jaccard_pairs(
 def near_duplicates_minhash(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     n_shingle: int = 3, k: int = 32, bands: int = 8, threshold: float = 0.7,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+
+    Output precision is exact by construction (every pair is verified);
+    recall is the LSH family's. With k=32/bands=8 (4-row bands) a
+    jaccard-0.9 pair is missed with probability (1−0.9⁴)⁸ ≈ 2·10⁻⁴;
+    tests/test_entry_oracle.py checks recall == 1.0 against the exact
+    all-pairs oracle on the deterministic corpus."""
     cand = minhash_lsh_candidates(
         df, text_col=text_col, id_col=id_col, n_shingle=n_shingle,
-        k=k, bands=bands)
+        k=k, bands=bands, max_bucket_size=max_bucket_size)
     return jaccard_pairs(df, cand, text_col=text_col, id_col=id_col,
                          n_shingle=n_shingle, threshold=threshold)
 
 
+def simhash_candidates(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    n_shingle: int = 2, n_tables: int = 8,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SimHash candidate pairs: bucket on 64/n_tables-bit key slices.
+
+    Pigeonhole guarantee: any pair within hamming ≤ n_tables−1 shares
+    at least one slice. NULL simhashes (un-shingle-able docs) are
+    excluded — no universal zero bucket."""
+    slice_bits = 64 // n_tables
+    mask = (1 << slice_bits) - 1
+    sh = (df.select(F.col(id_col),
+                    simhash64(F.col(text_col), n_shingle).alias("simhash"))
+          .filter(F.col("simhash").isNotNull()))
+    # one explode, not a union of n_tables branches — a union re-runs
+    # the signature UDF once per branch; this is a single pass
+    slices = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 F.shiftrightunsigned(F.col("simhash"), t * slice_bits)
+                 .bitwiseAND(F.lit(mask)).alias("bkey"))
+        for t in range(n_tables)])
+    exploded = (sh.select(id_col, F.explode(slices).alias("s"))
+                .select(id_col, F.col("s.tbl").alias("tbl"),
+                        F.col("s.bkey").alias("bkey")))
+    return bucket_join_pairs(exploded, ["tbl", "bkey"], id_col,
+                             max_bucket_size=max_bucket_size,
+                             label="simhash-lsh")
+
+
 def simhash_near_duplicates(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3, n_shingle: int = 2, n_tables: int = 4,
+    max_hamming: int = 3, n_shingle: int = 2, n_tables: int = 8,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket on 16-bit key slices (4 tables →
-    any pair within hamming ≤3 collides in ≥1 table by pigeonhole),
-    verify by exact hamming distance."""
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col), n_shingle)
-                   .alias("simhash"))
-    tables = []
-    for t in range(n_tables):
-        key = F.shiftrightunsigned(F.col("simhash"), t * 16) \
-               .bitwiseAND(F.lit(0xFFFF))
-        tables.append(sh.select(id_col, "simhash", F.lit(t).alias("tbl"),
-                                key.alias("bkey")))
-    exploded = tables[0]
-    for t in tables[1:]:
-        exploded = exploded.unionByName(t)
-    b = (exploded.groupBy("tbl", "bkey")
-         .agg(F.array_sort(F.collect_set(F.struct(F.col(id_col).alias("id"),
-                                                  F.col("simhash").alias("sh"))))
-              .alias("members"))
-         .filter(F.size("members") > 1))
-    pairs = (b.select(F.explode(_pairs_from_sorted("members")).alias("p"))
-             .select(F.col("p.a.id").alias("id_a"), F.col("p.a.sh").alias("sh_a"),
-                     F.col("p.b.id").alias("id_b"), F.col("p.b.sh").alias("sh_b"))
-             .distinct())
+    """SimHash near-dup pairs verified by exact hamming distance.
+
+    Pairs with hamming ≤ n_tables−1 are found with recall 1.0
+    (pigeonhole); beyond that, recall decays with distance."""
+    cand = simhash_candidates(
+        df, text_col=text_col, id_col=id_col, n_shingle=n_shingle,
+        n_tables=n_tables, max_bucket_size=max_bucket_size)
+    sh = df.select(F.col(id_col),
+                   simhash64(F.col(text_col), n_shingle).alias("simhash"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_verified_near_duplicates(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    n_shingle_sim: int = 2, n_shingle_jac: int = 3, n_tables: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Production simhash path: simhash-slice candidates → exact
+    n-gram Jaccard verification (same verifier as the minhash path,
+    so the two candidate generators are directly comparable and both
+    oracle-checkable against the exact all-pairs set)."""
+    cand = simhash_candidates(
+        df, text_col=text_col, id_col=id_col, n_shingle=n_shingle_sim,
+        n_tables=n_tables, max_bucket_size=max_bucket_size)
+    return jaccard_pairs(df, cand, text_col=text_col, id_col=id_col,
+                         n_shingle=n_shingle_jac, threshold=threshold)

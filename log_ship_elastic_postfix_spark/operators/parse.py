@@ -59,6 +59,9 @@ _FUTURE_SLACK = pd.Timedelta(seconds=6 * 30 * 24 * 60 * 60)  # ref: 6×30 d
 class ParseResult:
     parsed: DataFrame   # lines that produced a keyed record
     rejects: DataFrame  # envelope misses / filtered progs / qid-less
+    all_rows: Optional[DataFrame] = None  # full grok output (parsed ∪
+    # rejects share its lineage) — callers persist THIS frame so the
+    # scan+parse runs once per batch, then derive counts/dates from it
 
 
 def _normalize_dates(mon: pd.Series, day: pd.Series, hh: pd.Series,
@@ -221,4 +224,4 @@ def parse_lines(
     else:
         parsed = kept
 
-    return ParseResult(parsed=parsed, rejects=rejects)
+    return ParseResult(parsed=parsed, rejects=rejects, all_rows=all_rows)

@@ -42,9 +42,19 @@ def route_docs(
     )
 
 
-def write_routed(routed: DataFrame, path: str, mode: str = "append") -> None:
+def write_routed(routed: DataFrame, path: str, mode: str = "append",
+                 typed: bool = True) -> None:
     """Fan-out partitioned write. ``qid`` stays as a column (the _id
-    analog — parquet has no out-of-band doc id)."""
+    analog — parquet has no out-of-band doc id).
+
+    ``typed=True`` applies the index-map-template sink typing
+    (date→timestamp, delay/nrcpt→float, size→double — S7,
+    /root/reference/index-map-template.json:5-18) so the terminal
+    table is consumer-typed while the in-flight pipeline stays
+    all-string like the reference."""
+    if typed:
+        from .sink_schema import apply_sink_types
+        routed = apply_sink_types(routed)
     (routed.write.mode(mode)
      .partitionBy("sink", "route_date")
      .parquet(path))

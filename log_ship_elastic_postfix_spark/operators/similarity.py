@@ -9,6 +9,13 @@ Two paths, as a training-data pipeline needs both:
   vector lands in ``n_tables`` sign-buckets; candidate pairs only join
   within buckets, so the exchange is on bucket keys, never O(n²).
   Hyperplanes are deterministic (seeded arithmetic), not RNG state.
+
+Shuffle discipline (the 100 TB rule): candidate generation and
+dedup run over **ids only** — the (tbl, bucket) join and the
+``distinct`` exchange carry two longs per row; embedding vectors
+(dim × 8 bytes) are joined back exactly once per surviving pair side.
+Round 1 carried both vectors through the dedup shuffle — at dim=1024
+that is a 256× larger exchange for identical output.
 """
 
 from __future__ import annotations
@@ -80,7 +87,8 @@ def lsh_sign_buckets(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = 64, n_tables: int = 4, n_bits: int = 8,
 ) -> DataFrame:
-    """vector → (table, bucket) sign-signature keys.
+    """vector → (id, table, bucket) sign-signature keys — **ids only**
+    on the output so downstream bucket joins never shuffle vectors.
 
     One Arrow pandas UDF computing the full (batch × tables·bits) sign
     matrix as a single numpy matmul — the pure-expression form costs
@@ -102,58 +110,89 @@ def lsh_sign_buckets(
         vals = (signs * weights[None, None, :]).sum(axis=2)  # (n, T)
         return pd.Series(vals.tolist())
 
-    return (df.select(F.col(id_col), F.col(vec_col),
+    return (df.select(F.col(id_col),
                       F.posexplode(buckets(F.col(vec_col)))
                       .alias("tbl", "bucket"))
-            .select(id_col, vec_col, "tbl", "bucket"))
+            .select(id_col, "tbl", "bucket"))
+
+
+def _candidate_id_pairs(
+    df: DataFrame, *, id_col: str, vec_col: str, dim: int,
+    n_tables: int, n_bits: int, symmetric: bool,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct candidate id pairs sharing ≥1 sign-bucket.
+
+    ``symmetric=True`` emits (id_a < id_b) undirected pairs (near-dup
+    shape); otherwise directed (query_id, nbr_id) pairs with the left
+    side restricted to ``queries`` when given (ANN shape). The distinct
+    exchange carries ids only."""
+    b = lsh_sign_buckets(df, id_col=id_col, vec_col=vec_col, dim=dim,
+                         n_tables=n_tables, n_bits=n_bits)
+    # the bucket frame feeds both join sides — persist it so the sign
+    # UDF runs once, eagerly checkpoint the id pairs, release
+    b = b.persist()
+    try:
+        left = b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+        if queries is not None:
+            qids = queries.select(F.col(id_col).alias("id_a")).distinct()
+            left = left.join(F.broadcast(qids), "id_a")
+        right = b.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+        cond = (F.col("id_a") < F.col("id_b") if symmetric
+                else F.col("id_a") != F.col("id_b"))
+        return (left.join(right, ["tbl", "bucket"])
+                .filter(cond)
+                .select("id_a", "id_b")
+                .distinct()
+                .localCheckpoint(eager=True))
+    finally:
+        b.unpersist()
 
 
 def ann_topk(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: int = 64, k: int = 5, n_tables: int = 4, n_bits: int = 8,
+    dim: int = 64, k: int = 5, n_tables: int = 8, n_bits: int = 8,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 sign-bucket; exact cosine
     + window rank within the candidate set. Recall rises with
     ``n_tables``; the join key is (tbl, bucket) so the shuffle volume
-    is corpus × n_tables, not corpus²."""
+    is corpus × n_tables ids, not corpus² vectors."""
     from pyspark.sql.window import Window
 
-    b = lsh_sign_buckets(df, id_col=id_col, vec_col=vec_col, dim=dim,
-                         n_tables=n_tables, n_bits=n_bits)
-    left = b.select(F.col(id_col).alias("query_id"),
-                    F.col(vec_col).alias("query_vec"), "tbl", "bucket")
-    right = b.select(F.col(id_col).alias("nbr_id"),
-                     F.col(vec_col).alias("nbr_vec"), "tbl", "bucket")
-    cand = (left.join(right, ["tbl", "bucket"])
-            .filter(F.col("query_id") != F.col("nbr_id"))
-            .select("query_id", "query_vec", "nbr_id", "nbr_vec")
-            .dropDuplicates(["query_id", "nbr_id"]))
-    scored = cand.withColumn("score", F.round(
-        cosine(F.col("query_vec"), F.col("nbr_vec")), 6))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("nbr_id").asc())
+    pairs = _candidate_id_pairs(
+        df, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_tables=n_tables, n_bits=n_bits, symmetric=False, queries=queries)
+    qv = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("query_vec"))
+    nv = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("nbr_vec"))
+    scored = (pairs.join(qv, "id_a").join(nv, "id_b")
+              .withColumn("score", F.round(
+                  cosine(F.col("query_vec"), F.col("nbr_vec")), 6)))
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score").desc(), F.col("id_b").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "nbr_id", "score", "rank"))
+            .select(F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias("nbr_id"), "score", "rank"))
 
 
 def embedding_near_duplicates(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: int = 64, threshold: float = 0.95, n_tables: int = 6, n_bits: int = 6,
+    dim: int = 64, threshold: float = 0.95, n_tables: int = 8, n_bits: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b) above threshold,
-    via the LSH candidate path."""
-    b = lsh_sign_buckets(df, id_col=id_col, vec_col=vec_col, dim=dim,
-                         n_tables=n_tables, n_bits=n_bits)
-    left = b.select(F.col(id_col).alias("id_a"),
-                    F.col(vec_col).alias("vec_a"), "tbl", "bucket")
-    right = b.select(F.col(id_col).alias("id_b"),
-                     F.col(vec_col).alias("vec_b"), "tbl", "bucket")
-    cand = (left.join(right, ["tbl", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "vec_a", "id_b", "vec_b")
-            .dropDuplicates(["id_a", "id_b"]))
-    return (cand.withColumn("score", F.round(
-        cosine(F.col("vec_a"), F.col("vec_b")), 6))
-        .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score"))
+    via the LSH candidate path; vectors join in after the id dedup."""
+    pairs = _candidate_id_pairs(
+        df, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_tables=n_tables, n_bits=n_bits, symmetric=True)
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vec_b"))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .withColumn("score", F.round(
+                cosine(F.col("vec_a"), F.col("vec_b")), 6))
+            .filter(F.col("score") >= threshold)
+            .select("id_a", "id_b", "score"))

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .assemble import DOC_FIELDS
@@ -66,26 +66,61 @@ class StateStore:
         return state.join(F.broadcast(keys.select("qid").distinct()),
                           "qid", "inner")
 
-    def upsert(self, spark: SparkSession, incoming: DataFrame) -> None:
+    @staticmethod
+    def _doc_hash(df: DataFrame) -> Column:
+        """Canonical content hash of a doc row (sorted-column JSON →
+        xxhash64) — the detect_noop comparator."""
+        cols = [F.col(f"`{c}`") for c in sorted(df.columns)]
+        return F.xxhash64(F.to_json(F.struct(*cols)))
+
+    def upsert(self, spark: SparkSession, incoming: DataFrame,
+               detect_noop: bool = True) -> bool:
         """MERGE-equivalent: replace-by-qid within touched partitions.
 
         Uses dynamic partition overwrite so only (sink, route_date)
         partitions present in ``incoming`` are rewritten — the scan and
         rewrite cost scales with the batch's day-spread, not with total
-        state size. Requires
-        ``spark.sql.sources.partitionOverwriteMode=dynamic``.
+        state size. The required
+        ``spark.sql.sources.partitionOverwriteMode=dynamic`` is set for
+        the duration of the write and restored afterwards: under the
+        default ``static`` mode the overwrite would truncate the WHOLE
+        table while the lazy carry rows still read from it — total loss
+        of untouched partitions.
+
+        ``detect_noop=True`` (the reference's ``detect_noop: true``
+        bulk-update option, lib/logship.js:370) skips the write when
+        every incoming doc is byte-identical to its committed version —
+        an idempotent replay rewrites nothing. Returns True iff a write
+        happened. The extra cost is one hash-only anti-join over the
+        touched partitions — id+hash longs, never doc bodies.
         """
         state = self.read(spark)
         if state is not None:
             touched = [r["route_date"] for r in
                        incoming.select("route_date").distinct().collect()]
-            carry = (state.filter(F.col("route_date").isin(touched))
-                     .join(incoming.select("qid").distinct(), "qid",
-                           "left_anti"))
+            scoped = state.filter(F.col("route_date").isin(touched))
+            if detect_noop:
+                inc_keyed = incoming.select(
+                    "qid", self._doc_hash(incoming).alias("_h"))
+                st_keyed = scoped.select(
+                    "qid", self._doc_hash(scoped).alias("_h"))
+                n_changed = inc_keyed.join(
+                    st_keyed, ["qid", "_h"], "left_anti").count()
+                if n_changed == 0:
+                    return False
+            carry = scoped.join(incoming.select("qid").distinct(), "qid",
+                                "left_anti")
             incoming = incoming.unionByName(carry)
-        (incoming.write.mode("overwrite")
-         .partitionBy("sink", "route_date")
-         .parquet(self.path))
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (incoming.write.mode("overwrite")
+             .partitionBy("sink", "route_date")
+             .parquet(self.path))
+        finally:
+            spark.conf.set(conf_key, prev)
+        return True
 
 
 def merge_with_state(

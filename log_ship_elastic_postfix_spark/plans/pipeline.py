@@ -16,8 +16,11 @@ pruning through the parse, broadcast-only joins after the fold).
 from __future__ import annotations
 
 import datetime as dt
+import logging
 from dataclasses import dataclass, field
 from typing import Optional
+
+_log = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,36 +113,86 @@ def run_batch(
 
     pr = parse_stage(lines, cfg)
 
-    state_docs = None
-    if state is not None:
-        dates = [r["d"] for r in
-                 pr.parsed.select(
-                     F.substring("date", 1, 10).alias("d")).distinct().collect()]
-        state_docs = state.lookup(spark, pr.parsed, dates=dates)
+    # single-pass rule: the scan+grok (the pipeline's most expensive
+    # stage) runs ONCE per batch. Everything downstream — the distinct
+    # dates for state pruning, the fold input, the manifest counts —
+    # reads the persisted grok output; round 1 re-ran the full parse
+    # 3-4× per batch for these (at 100 TB: 3-4 redundant table scans).
+    # Persisted data is batch-bounded, MEMORY_AND_DISK by default.
+    multi_consumer = state is not None or bookmark is not None
+    if multi_consumer and pr.all_rows is not None:
+        pr.all_rows.persist()
 
-    docs = assemble_stage(pr.parsed, cfg, state_docs=state_docs)
-    docs = enrich.with_parent(docs, parent_map)
-    routed = route.route_docs(
-        docs, orphan_sink=cfg.orphan_sink, parent_sink=cfg.parent_sink)
+    try:
+        state_docs = None
+        if state is not None:
+            dates = [r["d"] for r in
+                     pr.parsed.select(
+                         F.substring("date", 1, 10).alias("d"))
+                     .distinct().collect()]
+            state_docs = state.lookup(spark, pr.parsed, dates=dates)
 
-    manifest: Optional[dict] = None
-    if state is not None:
-        state.upsert(spark, routed.drop("_parent"))
-    elif sink_path is not None:
-        route.write_routed(routed, sink_path)
+        docs = assemble_stage(pr.parsed, cfg, state_docs=state_docs)
+        docs = enrich.with_parent(docs, parent_map)
+        routed = route.route_docs(
+            docs, orphan_sink=cfg.orphan_sink, parent_sink=cfg.parent_sink)
 
-    if bookmark is not None:
-        manifest = {
-            "batch_seq": batch_seq,
-            "lineage": partition_lineage(lines, size_col="line")
-            if collect_lineage else [],
-            "n_lines": lines.count(),
-            "n_rejects": pr.rejects.count(),
-        }
-        bookmark.commit(batch_seq, manifest)
+        manifest: Optional[dict] = None
+        if state is not None:
+            state.upsert(spark, routed.drop("_parent"))
+        elif sink_path is not None:
+            route.write_routed(routed, sink_path)
+
+        if bookmark is not None:
+            manifest = {
+                "batch_seq": batch_seq,
+                "lineage": partition_lineage(lines, size_col="line")
+                if collect_lineage else [],
+                "n_lines": pr.all_rows.count(),
+                "n_rejects": pr.rejects.count(),
+            }
+            bookmark.commit(batch_seq, manifest)
+    finally:
+        if multi_consumer and pr.all_rows is not None:
+            pr.all_rows.unpersist()
 
     return BatchResult(batch_seq=batch_seq, docs=docs, routed=routed,
                        rejects=pr.rejects, manifest=manifest)
+
+
+def run_batch_with_retry(
+    spark: SparkSession,
+    lines: DataFrame,
+    cfg: PipelineConfig,
+    *,
+    max_tries: int = 3,
+    backoff_sec: float = 60.0,
+    sleep=None,
+    **kwargs,
+) -> BatchResult:
+    """Job-level batch retry — the reference's failure policy
+    (/root/reference/lib/logship.js:169-192): on error, retry the WHOLE
+    batch after ``backoff_sec``, at most ``max_tries`` attempts, then
+    re-raise (the process-shutdown analog; the cluster manager restarts
+    the job). Replay is safe by construction: the sink upsert is
+    idempotent (replace-by-qid) and the bookmark manifest commits last,
+    so a half-failed attempt leaves no visible partial state. The
+    reference clears its in-memory pfDocs before retrying; here each
+    attempt re-derives every frame from the immutable input, so there
+    is nothing to clear. ``sleep`` is injectable for tests."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    for attempt in range(1, max_tries + 1):
+        try:
+            return run_batch(spark, lines, cfg, **kwargs)
+        except Exception as exc:  # noqa: BLE001 — policy mirrors reference
+            if attempt == max_tries:
+                raise
+            _log.warning("batch attempt %d/%d failed (%s); retrying in %ss",
+                         attempt, max_tries, exc, backoff_sec)
+            do_sleep(backoff_sec)
+    raise AssertionError("unreachable")
 
 
 def run_pipeline(

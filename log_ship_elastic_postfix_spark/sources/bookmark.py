@@ -26,8 +26,27 @@ from pyspark.sql import functions as F
 
 class BookmarkStore:
     def __init__(self, path: str):
+        """Create/validate the bookmark directory up front — the
+        spool-validation analog (/root/reference/lib/spool.js:8-105):
+        a mis-pointed or unwritable bookmark dir must fail loudly at
+        construction, not obscurely at the first commit."""
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        if os.path.exists(path) and not os.path.isdir(path):
+            raise NotADirectoryError(
+                f"bookmark path exists and is not a directory: {path!r}")
+        try:
+            os.makedirs(path, exist_ok=True)
+        except OSError as exc:
+            raise PermissionError(
+                f"cannot create bookmark dir {path!r}: {exc}") from exc
+        # probe actual writability (os.access lies for root / network fs)
+        try:
+            fd, probe = tempfile.mkstemp(dir=path, suffix=".probe")
+            os.close(fd)
+            os.unlink(probe)
+        except OSError as exc:
+            raise PermissionError(
+                f"bookmark dir {path!r} is not writable: {exc}") from exc
 
     def _manifest_path(self, batch_seq: int) -> str:
         return os.path.join(self.path, f"batch-{batch_seq:08d}.json")
