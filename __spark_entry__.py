@@ -406,6 +406,23 @@ def q_ann_cosine_lsh(spark, sf_dir):
     return similarity.ann_topk(e, k=5, n_tables=32, n_bits=1, queries=qs)
 
 
+def q_media_metadata(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked on its engine-agnostic
+    slice: binary payload column → Arrow mapInPandas → typed metadata.
+    The payload is the document text encoded to bytes (the container
+    has no image corpus); byte counts are engine-checkable, the
+    stub-decoded dims/checksum are pytest-covered
+    (tests/test_multimodal.py)."""
+    from log_ship_elastic_postfix_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("payload"))
+    meta = multimodal.extract_media_metadata(d, payload_col="payload")
+    return meta.select(F.col("url").cast("long").alias("doc_id"),
+                       "media_type", "n_bytes")
+
+
 def q_typed_sink_projection(spark, sf_dir):
     """S7 typed sink schema: all-string doc fields → index-map types
     (date→timestamp, delay/nrcpt→float, size→double,
@@ -491,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "typed_sink_projection": q_typed_sink_projection,
+        "media_metadata": q_media_metadata,
         "pipeline_docs": q_pipeline_docs,
         "pipeline_sink_counts": q_pipeline_sink_counts,
     }
@@ -697,6 +715,10 @@ def oracle_sql() -> dict[str, str]:
             "order by score desc, nbr_id asc) as rank from scored) "
             "select query_id, nbr_id, score, rank::int as rank "
             "from r where rank <= 5"
+        ),
+        "media_metadata": (
+            "select doc_id, 'text/html' as media_type, "
+            "octet_length(encode(text))::bigint as n_bytes from documents"
         ),
         "typed_sink_projection": (
             "select event_id, "

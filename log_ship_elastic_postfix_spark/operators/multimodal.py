@@ -22,8 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, FloatType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
 
 IMAGE_META_SCHEMA = StructType([
     StructField("url", StringType()),
@@ -96,13 +96,14 @@ def extract_features(df: DataFrame, *, payload_col: str = "html",
 
 def sample_frames(df: DataFrame, *, payload_col: str = "html",
                   url_col: str = "url", every_n: int = 4) -> DataFrame:
-    """Frame-sampling shape: one binary in → k binaries out (explode
-    inside mapInPandas, preserving Arrow batching). Stub slices the
-    payload; a real impl emits decoded video frames."""
+    """Frame-sampling shape: one binary in → k **binary** frames out
+    (explode inside mapInPandas, preserving Arrow batching). Stub
+    slices the payload; a real impl emits decoded video frames through
+    the identical schema."""
     schema = StructType([
         StructField("url", StringType()),
         StructField("frame_no", IntegerType()),
-        StructField("frame", StringType()),  # real impl: BinaryType
+        StructField("frame", BinaryType()),
     ])
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,8 +114,42 @@ def sample_frames(df: DataFrame, *, payload_col: str = "html",
                 for i, c in enumerate(chunks):
                     urls.append(u)
                     nos.append(i)
-                    payloads.append(c.decode("utf-8", "replace"))
+                    payloads.append(bytes(c))
             yield pd.DataFrame({"url": urls, "frame_no": nos,
                                 "frame": payloads})
 
     return df.select(url_col, payload_col).mapInPandas(frames, schema)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, *, payload_col: str = "html",
+                  url_col: str = "url", max_side: int = 256) -> DataFrame:
+    """Resize stage shape: binary in → (dims, binary) out, bounded by
+    ``max_side`` with aspect preserved. STUB transform: the fake
+    "resample" truncates the payload proportionally to the pixel-count
+    ratio (deterministic, size-monotonic) so tests pin batch shape,
+    dimension math, and byte-budget behavior; PIL's
+    ``Image.resize((w, h))`` drops into the same loop body."""
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, ws, hs, outs = [], [], [], []
+            for u, b in zip(pdf[url_col], pdf[payload_col]):
+                w, h = _decode_image_stub(b)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                keep = max(1, int(len(b) * (nw * nh) / (w * h)))
+                urls.append(u)
+                ws.append(nw)
+                hs.append(nh)
+                outs.append(bytes(b[:keep]))
+            yield pd.DataFrame({"url": urls, "width": ws, "height": hs,
+                                "payload": outs})
+
+    return df.select(url_col, payload_col).mapInPandas(resize, RESIZED_SCHEMA)

@@ -34,7 +34,29 @@ def test_feature_extraction_shape(spark, pages):
     assert all(abs(n - 1.0) < 1e-3 for n in norms)
 
 
-def test_frame_sampling_explodes(spark, pages):
+def test_frame_sampling_explodes_binary(spark, pages):
     frames = multimodal.sample_frames(pages, every_n=2)
     assert frames.count() > pages.count()
     assert frames.columns == ["url", "frame_no", "frame"]
+    assert dict(frames.dtypes)["frame"] == "binary"
+    r = frames.filter(frames.frame_no == 0).limit(1).collect()[0]
+    assert isinstance(r["frame"], (bytes, bytearray)) and len(r["frame"]) > 0
+
+
+def test_resize_bounds_dimensions_and_bytes(spark, pages):
+    one_per_url = pages.dropDuplicates(["url"]).cache()
+    out = multimodal.resize_images(one_per_url, max_side=128).collect()
+    meta = {r["url"]: (r["width"], r["height"])
+            for r in multimodal.extract_media_metadata(one_per_url).collect()}
+    sizes = {r["url"]: r["n_bytes"]
+             for r in multimodal.extract_media_metadata(one_per_url).collect()}
+    assert len(out) == len(meta)
+    for r in out:
+        w0, h0 = meta[r["url"]]
+        assert max(r["width"], r["height"]) <= 128
+        # aspect preserved within integer truncation (relative)
+        assert abs(r["width"] / r["height"] - w0 / h0) / (w0 / h0) < 0.1
+        # byte budget shrinks with pixel count
+        assert 0 < len(r["payload"]) <= sizes[r["url"]]
+    assert dict(
+        multimodal.resize_images(one_per_url).dtypes)["payload"] == "binary"
