@@ -357,9 +357,14 @@ def q_minhash_neardup(spark, sf_dir):
 def q_simhash_neardup(spark, sf_dir):
     """SimHash-sliced candidates → exact-Jaccard verify (same oracle
     as the minhash path; the two candidate generators are directly
-    comparable). The raw hamming-distance variant stays pytest-covered
-    (tests/test_dedup_similarity.py)."""
-    d = _t(spark, sf_dir, "documents")
+    comparable). EXPLICIT corpus cap at doc_id<1000 (covers the whole
+    sf0.01 correctness corpus): recall 1.0 for jaccard-0.5 pairs needs
+    8-bit slices whose random-collision candidate count grows n²/256 —
+    a verification-primitive demo, like token_jaccard_pairs. The
+    unbounded-scale simhash path is the hamming≤n_tables−1 variant
+    (pigeonhole guarantee, wide slices), pytest-covered in
+    tests/test_dedup_similarity.py."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return (dedup.simhash_verified_near_duplicates(
         d, threshold=0.5, n_tables=8)
         .orderBy("id_a", "id_b"))
@@ -687,7 +692,8 @@ def oracle_sql() -> dict[str, str]:
         # reproduce exactly: verified precision is exact by
         # construction, so hash-equality == recall 1.0
         "minhash_neardup": _JACCARD_PAIRS_SQL,
-        "simhash_neardup": _JACCARD_PAIRS_SQL,
+        "simhash_neardup": _JACCARD_PAIRS_SQL.replace(
+            "from documents)", "from documents where doc_id < 1000)", 1),
         "embedding_neardup": (
             "with base as (select vec_id, embedding::double[] as v "
             "from embeddings), "

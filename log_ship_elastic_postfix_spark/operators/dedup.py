@@ -289,12 +289,24 @@ def minhash_lsh_candidates(
 def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, *, text_col: str = "text",
     id_col: str = "doc_id", n_shingle: int = 3, threshold: float = 0.7,
+    broadcast_shingles: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard verification of candidate pairs."""
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    ``broadcast_shingles=True`` broadcasts the (id, shingle-set) frame
+    into both joins so the candidate pairs never shuffle carrying
+    attached shingle arrays (~2 KB/row — the pair side is two longs and
+    must stay that way). The planner can't see the frame is small (it
+    derives from a scan+transform), so the hint is explicit. At a scale
+    where the shingle frame itself exceeds broadcast size, pass False:
+    the shuffle join then moves each shingle set once per joined side,
+    keyed by id — still no all-pairs stage."""
     sh = df.select(F.col(id_col),
                    shingles(F.col(text_col), n_shingle).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if broadcast_shingles:
+        a, b = F.broadcast(a), F.broadcast(b)
     joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
