@@ -274,6 +274,18 @@ def q_dedup_exact(spark, sf_dir):
             .select("keeper_id", "group_size", "member_ids"))
 
 
+def q_dedup_assignments(spark, sf_dir):
+    """Scale-shaped exact dedup: one (doc_id, keeper_id) row per
+    non-keeper duplicate — no per-group member arrays (the collect_list
+    report shape breaks on a 10⁹-member group). Same planted corpus as
+    dedup_exact."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.filter(F.col("doc_id") < 30)
+               .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return (dedup.duplicate_assignments(d.unionByName(planted))
+            .orderBy("doc_id"))
+
+
 def q_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -502,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_keys": q_distinct_keys,
         "agg_lineitem": q_agg_lineitem,
         "dedup_exact": q_dedup_exact,
+        "dedup_assignments": q_dedup_assignments,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -638,6 +651,17 @@ def oracle_sql() -> dict[str, str]:
             "select min(doc_id) as keeper_id, count(*) as group_size, "
             "string_agg(cast(doc_id as varchar), ',' order by doc_id) as member_ids "
             "from n group by norm having count(*) > 1"
+        ),
+        "dedup_assignments": (
+            "with u as (select doc_id, text from documents "
+            " union all select doc_id + 10000, text from documents "
+            " where doc_id < 30), "
+            "n as (select doc_id, trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')) as norm from u), "
+            "k as (select norm, min(doc_id) as keeper_id from n "
+            " group by norm having count(*) > 1) "
+            "select n.doc_id, k.keeper_id from n join k using (norm) "
+            "where n.doc_id != k.keeper_id"
         ),
         "token_stats": (
             "select doc_id, cast(case when trim(text) = '' then 0 else "

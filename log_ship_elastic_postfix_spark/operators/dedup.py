@@ -81,6 +81,27 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
             .filter(F.col("group_size") > 1))
 
 
+def duplicate_assignments(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup at scale shape: one (doc_id, keeper_id) row per
+    NON-keeper duplicate — no per-group member arrays (a group with
+    10⁹ identical docs must not materialize as one collect_list row;
+    same mega-row hazard as LSH buckets). Plan: hash-only exchange,
+    partial+final min/count agg, then an id+hash join back.
+    :func:`exact_duplicates` (grouped members) remains the
+    human-readable small-scale report."""
+    h = F.xxhash64(normalize_text(F.col(text_col))).alias("content_hash")
+    hashed = df.select(F.col(id_col), h)
+    keepers = (hashed.groupBy("content_hash")
+               .agg(F.min(id_col).alias("keeper_id"),
+                    F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > 1)
+               .select("content_hash", "keeper_id"))
+    return (hashed.join(keepers, "content_hash")
+            .filter(F.col(id_col) != F.col("keeper_id"))
+            .select(id_col, "keeper_id"))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct), JVM-side — no Python. Used
     by the exact-Jaccard verifier.

@@ -35,6 +35,12 @@ def test_exact_duplicates(spark, docs):
     assert g["member_ids"] == [0, 1, 2]
 
 
+def test_duplicate_assignments_scale_shape(spark, docs):
+    out = {(r["doc_id"], r["keeper_id"])
+           for r in dedup.duplicate_assignments(docs).collect()}
+    assert out == {(1, 0), (2, 0)}  # dup cluster {0,1,2}, keeper=min
+
+
 def test_jaccard_pairs_exact(spark, docs):
     pairs = spark.createDataFrame(
         [(0, 3), (4, 5), (0, 6)], "id_a long, id_b long")
