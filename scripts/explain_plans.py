@@ -65,6 +65,18 @@ def main() -> None:
     # 3. per-sink counts (partial+final agg)
     sections.append(("sink counts", route.sink_counts(routed)))
 
+    # 4. single-pass batch: with the grok output persisted (as
+    # run_batch does when state/bookmark consumers exist), every
+    # downstream frame reads InMemoryTableScan — the scan+parse of the
+    # batch runs exactly once
+    pr_cached = parse_lines(lines, tz=cfg.tz, now=cfg.now)
+    pr_cached.all_rows.persist()
+    pr_cached.all_rows.count()
+    sections.append((
+        "single-pass batch (persisted grok → InMemoryTableScan, "
+        "one scan per batch)",
+        pr_cached.parsed.select("qid").groupBy().count()))
+
     buf = io.StringIO()
     with redirect_stdout(buf):
         for title, df in sections:
