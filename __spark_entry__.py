@@ -490,10 +490,10 @@ def q_pipeline_sink_counts(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full parse→enrich→route→aggregate over sf0.001 +
-    the synthetic pages pipeline counts."""
-    sf_dir = "/root/testdata/sf0.001"
-    return q_sessionize(spark, sf_dir)
+    """Flagship: the full parse→assemble→enrich→route pipeline over the
+    deterministic synthetic pages corpus (oracle-checked end-to-end via
+    the pipeline_docs closed form)."""
+    return q_pipeline_docs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
