@@ -405,7 +405,7 @@ def q_embedding_neardup(spark, sf_dir):
                        .alias("embedding")))
     un = e.unionByName(planted)
     return (similarity.embedding_near_duplicates(
-        un, threshold=0.95, n_tables=12, n_bits=8)
+        un, threshold=0.95, n_tables=16, n_bits=12)
         .orderBy("id_a", "id_b"))
 
 

@@ -71,14 +71,39 @@ def brute_force_topk(
             .select("query_id", "nbr_id", "score", "rank"))
 
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Public splitmix64 finalizer — full-avalanche integer mixing."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return (x ^ (x >> 31)) & _M64
+
+
 def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
-    """Deterministic pseudo-random unit hyperplane via a sine-mix hash
-    (same construction everywhere — no RNG state, reproducible across
-    runs/languages)."""
+    """Deterministic ISOTROPIC unit hyperplane: per-component standard
+    Gaussians via splitmix64 uniforms + Box–Muller (no RNG state,
+    reproducible across runs/languages).
+
+    Two round-2 bugs worth remembering — sign-LSH guarantees hold only
+    for INDEPENDENT random planes, and both "obvious" deterministic
+    constructions violated that: (a) ``sin(a·d + φ(table,bit))`` makes
+    every plane the same sinusoid at a different phase — planes
+    correlate as cos(Δφ) (adjacent bits ~0.68); (b) crc32-of-label
+    uniforms — CRC is GF(2)-LINEAR, so labels differing in one
+    character give hash values differing by a CONSTANT XOR across all
+    components (measured plane correlation 0.89, a cosine-0.264 pair
+    disagreed on all 32 'independent' tables). A full-avalanche
+    nonlinear mixer is required."""
     vals = []
+    base = (table * 1_000_003 + bit) * 1_000_003
     for d in range(dim):
-        x = math.sin((table * 131071 + bit * 8191 + d * 524287 + 1) * 0.0001)
-        vals.append(x)
+        u1 = (_splitmix64(base + 2 * d) + 1) / 2.0**64
+        u2 = _splitmix64(base + 2 * d + 1) / 2.0**64
+        vals.append(math.sqrt(-2.0 * math.log(u1))
+                    * math.cos(2.0 * math.pi * u2))
     n = math.sqrt(sum(v * v for v in vals)) or 1.0
     return [v / n for v in vals]
 

@@ -89,6 +89,94 @@ def test_fold_invariants(rows):
     assert doc["n_events"] == len(events)
 
 
+# ------------------------------------------------ grok differential
+_MSG_CHARS = st.characters(
+    blacklist_categories=("Cs",), blacklist_characters="\n\r")
+_TOKEN = st.text(
+    st.characters(whitelist_categories=("Lu", "Ll", "Nd")), min_size=1,
+    max_size=10)
+
+
+@st.composite
+def raw_line(draw) -> str:
+    kind = draw(st.sampled_from(
+        ["qmgr", "smtp", "removed", "cleanup", "scache", "rspamd",
+         "garbage", "empty", "weird_msg", "hexqid", "lowerqid"]))
+    host = draw(st.sampled_from(["mx1", "mx2.example.com"]))
+    stamp = (f"Jul {draw(st.integers(1, 28)):2d} "
+             f"{draw(st.integers(0, 23)):02d}:"
+             f"{draw(st.integers(0, 59)):02d}:"
+             f"{draw(st.integers(0, 59)):02d}")
+    pid = draw(st.integers(1, 99999))
+    qid = draw(st.sampled_from(["3mfHGL1r9gzyQP", "A1B2C3", "9XYZ"]))
+    if kind == "empty":
+        return ""
+    if kind == "garbage":
+        return draw(st.text(_MSG_CHARS, max_size=60))
+    if kind == "qmgr":
+        frm = draw(st.sampled_from(["<>", "<a@b.c>", "<weird,name@x>"]))
+        return (f"{stamp} {host} postfix/qmgr[{pid}]: {qid}: "
+                f"from={frm}, size={draw(st.integers(0, 10**9))}, "
+                f"nrcpt={draw(st.integers(1, 99))} (queue active)")
+    if kind == "smtp":
+        status = draw(st.sampled_from(
+            ["sent (250 ok: queued as X)", "deferred (lost connection)",
+             "bounced (host said: 550 no, from=<trap@x>)"]))
+        return (f"{stamp} {host} postfix/smtp[{pid}]: {qid}: "
+                f"to=<{draw(_TOKEN)}@x.net>, relay=r[10.0.0.1]:25, "
+                f"delay={draw(st.integers(0, 9999))}, "
+                f"delays=0.1/0/0.2/0.3, dsn=2.0.0, status={status}")
+    if kind == "removed":
+        return f"{stamp} {host} postfix/qmgr[{pid}]: {qid}: removed"
+    if kind == "cleanup":
+        return (f"{stamp} {host} postfix/cleanup[{pid}]: {qid}: "
+                f"message-id=<{draw(_TOKEN)}@y>")
+    if kind == "scache":
+        return (f"{stamp} {host} postfix/scache[{pid}]: "
+                f"statistics: start interval Jul 26 04:00:00")
+    if kind == "rspamd":
+        return (f"{stamp} {host} rspamd[{pid}]: rspamd_message_parse: "
+                f"loaded; queue-id: <{qid}>; score={draw(st.integers(0, 99))}.50")
+    if kind == "hexqid":
+        return (f"{stamp} {host} postfix/qmgr[{pid}]: DEADBEEF: "
+                f"from=<a@b>, size=5, nrcpt=1 (queue active)")
+    if kind == "lowerqid":
+        return f"{stamp} {host} postfix/qmgr[{pid}]: warning: odd message"
+    # weird_msg: arbitrary payload after a valid envelope
+    payload = draw(st.text(_MSG_CHARS, min_size=1, max_size=80))
+    return f"{stamp} {host} postfix/smtp[{pid}]: {payload}"
+
+
+@given(st.lists(raw_line(), min_size=1, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_arrow_and_pandas_grok_differential_fuzz(lines):
+    """The RE2 (production) and pandas (reference) grok batch
+    implementations must agree cell-for-cell on arbitrary — including
+    malformed and unicode — input lines. No Spark session: this drives
+    the batch kernels directly."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from log_ship_elastic_postfix_spark.operators.parse import (
+        PARSED_FIELDS, _grok_arrow, _grok_batch)
+
+    now = dt.datetime(2024, 8, 1)
+    out_names = (["line_no", "host", "prog", "date"] + PARSED_FIELDS
+                 + ["reject_reason"])
+    pdf = pd.DataFrame({"line_no": range(len(lines)), "line": lines})
+
+    a = _grok_arrow(pa.RecordBatch.from_pandas(pdf), "line",
+                    "America/Phoenix", now, out_names).to_pandas()
+    b = _grok_batch(pdf.copy(), "line", "America/Phoenix", now)[out_names]
+
+    for col in out_names:
+        av = [None if pd.isna(x) else x for x in a[col]]
+        bv = [None if pd.isna(x) else x for x in b[col]]
+        assert av == bv, (col, lines)
+
+
 @given(lines_strategy, st.integers(2, 5))
 @settings(max_examples=100, deadline=None)
 def test_fold_batch_split_consistency(rows, k):
