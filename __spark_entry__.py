@@ -382,6 +382,17 @@ def q_simhash_neardup(spark, sf_dir):
         .orderBy("id_a", "id_b"))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup clustering: LSH-verified pairs → connected components
+    (min-label propagation; the keeper-per-cluster step a dedup
+    pipeline actually applies). Oracle: DuckDB recursive-CTE
+    reachability over the exact all-pairs set."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.near_duplicates_minhash(d, threshold=0.5) \
+        .select("id_a", "id_b")
+    return dedup.connected_components(pairs).orderBy("id")
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dups over the embeddings table UNIONed
     with deterministic planted copies: vec_id<20 verbatim (+100000,
@@ -522,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "ann_topk_dot": q_ann_topk_dot,
         "minhash_neardup": q_minhash_neardup,
+        "neardup_clusters": q_neardup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -718,6 +730,17 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _JACCARD_PAIRS_SQL,
         "simhash_neardup": _JACCARD_PAIRS_SQL.replace(
             "from documents)", "from documents where doc_id < 1000)", 1),
+        "neardup_clusters": (
+            "with recursive "
+            f"jp as ({_JACCARD_PAIRS_SQL}), "
+            "edges as (select id_a as a, id_b as b from jp "
+            " union select id_b, id_a from jp), "
+            "reach(a, b) as (select a, b from edges "
+            " union select r.a, e.b from reach r join edges e on r.b = e.a), "
+            "labels as (select a as id, least(a, min(b)) as cluster_id "
+            " from reach group by a) "
+            "select id, cluster_id from labels"
+        ),
         "embedding_neardup": (
             "with base as (select vec_id, embedding::double[] as v "
             "from embeddings), "

@@ -407,6 +407,53 @@ def simhash_near_duplicates(
             .filter(F.col("hamming") <= max_hamming))
 
 
+def connected_components(
+    pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Undirected connected components over near-dup pairs → one
+    ``(id, cluster_id)`` row per member, cluster_id = min id in the
+    component (the keeper). The canonical post-LSH step: a training
+    pipeline drops all non-keepers per cluster, not per pair.
+
+    Spark has no built-in CC; this is min-label propagation — per
+    iteration each node takes the min of its own and its neighbors'
+    labels (one join + agg on id-label longs), eagerly checkpointed to
+    truncate lineage. Converges in O(component diameter) iterations;
+    near-dup clusters are shallow (diameter ≤ ~5), and ``max_iter``
+    raises if a pathological chain fails to converge (no silent
+    truncation). Shuffle volume per iteration: edges + labels, ids
+    only."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("src"),
+                              F.col(id_a).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
+                   .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr_min, labels["id"] == nbr_min["src"],
+                                  "left")
+                      .select(F.col("id"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        n_changed = (new_labels.alias("n")
+                     .join(labels.alias("o"), "id")
+                     .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if n_changed == 0:
+            return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations")
+
+
 def simhash_verified_near_duplicates(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     n_shingle_sim: int = 2, n_shingle_jac: int = 3, n_tables: int = 8,

@@ -41,6 +41,18 @@ def test_duplicate_assignments_scale_shape(spark, docs):
     assert out == {(1, 0), (2, 0)}  # dup cluster {0,1,2}, keeper=min
 
 
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain → one component, keeper 1
+         (10, 11),                    # island pair
+         (20, 22), (21, 22)],         # vee → keeper 20
+        "id_a long, id_b long")
+    out = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
 def test_jaccard_pairs_exact(spark, docs):
     pairs = spark.createDataFrame(
         [(0, 3), (4, 5), (0, 6)], "id_a long, id_b long")
