@@ -50,6 +50,22 @@ _JACCARD_PAIRS_SQL = (
     "select id_a, id_b, jaccard from p where jaccard >= 0.5"
 )
 
+# exact brute-force cosine top-5 for query ids < 50 — ground truth for
+# both ANN paths (sign-LSH and IVF)
+_ANN_BRUTE_SQL = (
+    "with e as (select vec_id, embedding::double[] as v "
+    "from embeddings), "
+    "scored as (select a.vec_id as query_id, b.vec_id as nbr_id, "
+    " round(list_dot_product(a.v, b.v) / "
+    " (sqrt(list_dot_product(a.v, a.v)) * "
+    "  sqrt(list_dot_product(b.v, b.v))), 6) as score "
+    " from e a join e b on a.vec_id < 50 and a.vec_id != b.vec_id), "
+    "r as (select *, row_number() over (partition by query_id "
+    "order by score desc, nbr_id asc) as rank from scored) "
+    "select query_id, nbr_id, score, rank::int as rank "
+    "from r where rank <= 5"
+)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -451,6 +467,20 @@ def q_media_metadata(spark, sf_dir):
                        "media_type", "n_bytes")
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN plumbing (centroid cells → probe → exact re-rank),
+    oracle-checked against brute-force cosine top-5. This corpus is
+    adversarially near-uniform (max pairwise cosine ≈0.51), so the
+    recall-1.0 demo probes all 16 cells; on clustered real embeddings
+    the same operator runs n_probe ≪ n_centroids
+    (tests/test_dedup_similarity.py pins recall↑ with n_probe)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    qs = e.filter(F.col("vec_id") < 50)
+    return similarity.ivf_topk(e, k=5, n_centroids=16, n_probe=16,
+                               queries=qs)
+
+
 def q_typed_sink_projection(spark, sf_dir):
     """S7 typed sink schema: all-string doc fields → index-map types
     (date→timestamp, delay/nrcpt→float, size→double,
@@ -537,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "typed_sink_projection": q_typed_sink_projection,
         "media_metadata": q_media_metadata,
         "pipeline_docs": q_pipeline_docs,
@@ -756,19 +787,8 @@ def oracle_sql() -> dict[str, str]:
             " from u a join u b on a.vec_id < b.vec_id) "
             "select id_a, id_b, score from pairs where score >= 0.95"
         ),
-        "ann_cosine_lsh": (
-            "with e as (select vec_id, embedding::double[] as v "
-            "from embeddings), "
-            "scored as (select a.vec_id as query_id, b.vec_id as nbr_id, "
-            " round(list_dot_product(a.v, b.v) / "
-            " (sqrt(list_dot_product(a.v, a.v)) * "
-            "  sqrt(list_dot_product(b.v, b.v))), 6) as score "
-            " from e a join e b on a.vec_id < 50 and a.vec_id != b.vec_id), "
-            "r as (select *, row_number() over (partition by query_id "
-            "order by score desc, nbr_id asc) as rank from scored) "
-            "select query_id, nbr_id, score, rank::int as rank "
-            "from r where rank <= 5"
-        ),
+        "ann_cosine_lsh": _ANN_BRUTE_SQL,
+        "ann_topk_ivf": _ANN_BRUTE_SQL,
         "media_metadata": (
             "select doc_id, 'text/html' as media_type, "
             "octet_length(encode(text))::bigint as n_bytes from documents"

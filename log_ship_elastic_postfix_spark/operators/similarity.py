@@ -203,6 +203,72 @@ def ann_topk(
                     F.col("id_b").alias("nbr_id"), "score", "rank"))
 
 
+def ivf_topk(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+    queries: DataFrame | None = None, centroid_stride: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    bucketed by nearest centroid; each query scans only its ``n_probe``
+    nearest centroid cells, exact cosine re-rank inside.
+
+    Centroids are deterministic corpus samples (every ``stride``-th
+    vector, L2-normalized) — no RNG, no k-means iterations; at
+    production scale the same operator takes trained centroids as a
+    parameter. Scale shape: the corpus shuffles ONCE keyed by cell id;
+    query fan-out is queries × n_probe ids; vectors join back by cell.
+    Recall rises with n_probe (n_probe = n_centroids ⇒ exact)."""
+    from pyspark.sql.window import Window
+
+    stride = centroid_stride or max(
+        1, df.count() // n_centroids if n_centroids else 1)
+    cents = (df.orderBy(id_col).limit(n_centroids * stride)
+             .filter(F.col(id_col) % stride == 0)
+             .limit(n_centroids)
+             .select(F.col(id_col).alias("cid"),
+                     F.col(vec_col).alias("cvec")))
+    cent_rows = cents.collect()
+    cmat = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+
+    def _assign(n_best: int):
+        @pandas_udf("array<long>")
+        def assign(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cmat.T                      # (n, C)
+            order = np.argsort(-sims, axis=1)[:, :n_best]
+            return pd.Series([cids[o].tolist() for o in order])
+        return assign
+
+    corpus_cells = df.select(
+        F.col(id_col).alias("nbr_id"),
+        F.element_at(_assign(1)(F.col(vec_col)), 1).alias("cell"))
+    q = (queries or df).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_assign(n_probe)(F.col(vec_col))).alias("cell"))
+    cand = (q.join(corpus_cells, "cell")
+            .filter(F.col("query_id") != F.col("nbr_id"))
+            .select("query_id", "nbr_id")
+            .distinct())
+    qv = df.select(F.col(id_col).alias("query_id"),
+                   F.col(vec_col).alias("query_vec"))
+    nv = df.select(F.col(id_col).alias("nbr_id"),
+                   F.col(vec_col).alias("nbr_vec"))
+    scored = (cand.join(qv, "query_id").join(nv, "nbr_id")
+              .withColumn("score", F.round(
+                  cosine(F.col("query_vec"), F.col("nbr_vec")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "score", "rank"))
+
+
 def embedding_near_duplicates(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = 64, threshold: float = 0.95, n_tables: int = 8, n_bits: int = 6,

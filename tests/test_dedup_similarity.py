@@ -121,6 +121,30 @@ def test_ann_finds_planted_neighbor(spark, vecs):
     assert 1 in by_query.get(0, [])
 
 
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """IVF recall must rise with n_probe and reach 1.0 at exhaustive
+    probe (the parameter's contract; real clustered corpora reach 1.0
+    far earlier)."""
+    import pyspark.sql.functions as F
+
+    e = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("embedding")))
+    qs = e.filter(F.col("vec_id") < 20)
+    brute = {(r["query_id"], r["nbr_id"])
+             for r in similarity.brute_force_topk(e, k=3, queries=qs)
+             .collect()}
+    recalls = []
+    for npr in (2, 8):
+        got = {(r["query_id"], r["nbr_id"])
+               for r in similarity.ivf_topk(
+                   e, k=3, n_centroids=8, n_probe=npr, queries=qs)
+               .collect()}
+        recalls.append(len(got & brute) / len(brute))
+    assert recalls[0] <= recalls[1]
+    assert recalls[1] == 1.0  # n_probe == n_centroids ⇒ exact
+
+
 def test_embedding_near_duplicates(spark, vecs):
     out = similarity.embedding_near_duplicates(
         vecs, dim=4, threshold=0.99, n_tables=8, n_bits=2)
