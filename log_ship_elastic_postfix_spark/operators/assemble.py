@@ -103,8 +103,13 @@ def _partial_schema(order_cols: list[str]) -> StructType:
            StructField("events", ArrayType(event_type))])
 
 
-def _event_key(e: dict) -> tuple:
-    return tuple(sorted((k, v) for k, v in e.items() if v is not None))
+def _event_key(e: dict) -> frozenset:
+    """Canonical event identity for duplicate suppression: the SET of
+    non-null (field, value) items — equality matches the reference's
+    JSON.stringify comparison for identically-shaped events without its
+    key-insertion-order sensitivity (same contract as the previous
+    sorted-tuple key, ~2× cheaper)."""
+    return frozenset((k, v) for k, v in e.items() if v is not None)
 
 
 class _EventAcc:
@@ -124,9 +129,13 @@ class _EventAcc:
         for e in events or []:
             self.append(e)
 
-    def append(self, e: dict) -> None:
-        e = {k: v for k, v in e.items()
-             if v is not None and k not in ("qid", "host", "prog")}
+    def append(self, e: dict, clean: bool = False) -> None:
+        """``clean=True``: caller guarantees e is already null-free and
+        carries no qid/host/prog (the _dispatch fast path — events are
+        built field-filtered from the start)."""
+        if not clean:
+            e = {k: v for k, v in e.items()
+                 if v is not None and k not in ("qid", "host", "prog")}
         if e.get("action") == "queued":
             if self.has_queued:
                 return
@@ -139,14 +148,15 @@ class _EventAcc:
         self.events.append(e)
 
 
-def _add_event(events, e: dict) -> None:
+def _add_event(events, e: dict, clean: bool = False) -> None:
     """Reference addEvent: first-queued-wins + exact-dup suppression.
     Accepts an _EventAcc (fast path) or a plain list (compat)."""
     if isinstance(events, _EventAcc):
-        events.append(e)
+        events.append(e, clean=clean)
         return
-    e = {k: v for k, v in e.items()
-         if v is not None and k not in ("qid", "host", "prog")}
+    if not clean:
+        e = {k: v for k, v in e.items()
+             if v is not None and k not in ("qid", "host", "prog")}
     if e.get("action") == "queued":
         if any(ev.get("action") == "queued" for ev in events):
             return
@@ -155,6 +165,21 @@ def _add_event(events, e: dict) -> None:
         if _event_key(ev) == key:
             return
     events.append(e)
+
+
+def _event_from(lo: dict, action: str | None = None,
+                drop: tuple = (), msg: str | None = None) -> dict:
+    """Build a clean event straight from the (sparse) line dict: one
+    pass, no intermediate copies. Equivalent to the reference's mutate
+    lo → addEvent(strip) sequence: non-null EVENT_FIELDS minus the
+    hoisted ``drop`` keys, plus a synthesized action / overridden msg."""
+    e = {k: v for k, v in lo.items()
+         if v is not None and k in _EVENT_FIELD_SET and k not in drop}
+    if action is not None:
+        e["action"] = action
+    if msg is not None:
+        e["msg"] = msg
+    return e
 
 
 def _dispatch(doc: dict, lo: dict, events: list[dict]) -> None:
@@ -168,25 +193,21 @@ def _dispatch(doc: dict, lo: dict, events: list[dict]) -> None:
             return
         if lo.get("status"):
             if "expired, returned" in lo["status"]:
-                lo = dict(lo)
-                lo["action"] = "expired"
-                lo.pop("status", None)
-                _add_event(events, _event_fields_only(lo))
+                _add_event(events, _event_from(lo, "expired",
+                                               drop=("status",)), clean=True)
             return  # other statuses: parse-error drop
-        lo = dict(lo)
-        lo["action"] = "queued"
-        if lo.get("from") is None:
-            lo["from"] = ""  # null sender
         for f in _HOIST_QMGR:
-            doc[f] = lo.pop(f, None)
-        _add_event(events, _event_fields_only(lo))
+            doc[f] = lo.get(f)
+        if doc.get("from") is None:
+            doc["from"] = ""  # null sender
+        _add_event(events, _event_from(lo, "queued", drop=_HOIST_QMGR),
+                   clean=True)
         return
     if prog == "postfix/smtp":
-        lo = dict(lo)
         for f in _HOIST_SMTP:
             if lo.get(f) is not None:
-                doc[f] = lo.pop(f)
-        _add_event(events, _event_fields_only(lo))
+                doc[f] = lo[f]
+        _add_event(events, _event_from(lo, drop=_HOIST_SMTP), clean=True)
         return
     if prog == "postfix/cleanup":
         for f in _COPY_CLEANUP:
@@ -203,41 +224,40 @@ def _dispatch(doc: dict, lo: dict, events: list[dict]) -> None:
             doc["isFinal"] = True
         _add_event(events, {"date": lo.get("date"), "action": lo.get("msg")})
         return
-    if prog in ("postfix/error", "postfix/bounce"):
-        lo = dict(lo)
-        lo["action"] = "error" if prog == "postfix/error" else "bounced"
-        _add_event(events, _event_fields_only(lo))
+    if prog == "postfix/error":
+        _add_event(events, _event_from(lo, "error"), clean=True)
+        return
+    if prog == "postfix/bounce":
+        _add_event(events, _event_from(lo, "bounced"), clean=True)
         return
     if prog == "postfix/local":
-        _add_event(events, _event_fields_only(lo))
+        _add_event(events, _event_from(lo), clean=True)
         return
     if prog.startswith("rmilter"):
         # rmilter-only action synthesis (lib/postfix-doc.js:233-255) —
         # the reference never applies these to rspamd lines
-        lo = dict(lo)
+        action = None
         if lo.get("spam_scan") is not None:
-            lo["action"] = f"rmilter_spam_{lo['spam_scan']}"
+            action = f"rmilter_spam_{lo['spam_scan']}"
         if lo.get("virus_scan") is not None:
-            lo["action"] = f"rmilter_virus_{lo['virus_scan']}"
+            action = f"rmilter_virus_{lo['virus_scan']}"
         if lo.get("dkim") is not None:
-            lo["action"] = f"rmilter_dkim_{lo['dkim']}"
-        if lo.get("raw_msg") is not None:
-            lo["msg"] = lo["raw_msg"]
-        _add_event(events, _event_fields_only(lo))
+            action = f"rmilter_dkim_{lo['dkim']}"
+        _add_event(events, _event_from(lo, action, msg=lo.get("raw_msg")),
+                   clean=True)
         return
     if prog.startswith("rspamd"):
         # rspamd rule (lib/postfix-doc.js:257-269): default action only
         # when a scan result (score) is present and no action was parsed
-        lo = dict(lo)
-        if lo.get("action") is None and lo.get("score") is not None:
-            lo["action"] = "rspamd_scan_result"
-        if lo.get("raw_msg") is not None:
-            lo["msg"] = lo["raw_msg"]
-        _add_event(events, _event_fields_only(lo))
+        action = ("rspamd_scan_result"
+                  if lo.get("action") is None and lo.get("score") is not None
+                  else lo.get("action"))
+        _add_event(events, _event_from(lo, action, msg=lo.get("raw_msg")),
+                   clean=True)
         return
     # unknown postfix subprogram: generic event append (reference
     # default switch fall-through, lib/postfix-doc.js:181)
-    _add_event(events, _event_fields_only(lo))
+    _add_event(events, _event_from(lo), clean=True)
 
 
 _EVENT_FIELD_SET = frozenset(EVENT_FIELDS)
