@@ -60,6 +60,18 @@ def write_routed(routed: DataFrame, path: str, mode: str = "append",
      .parquet(path))
 
 
+def write_rejects(rejects: DataFrame, path: str, mode: str = "append") -> None:
+    """Dead-letter sink for parse rejects, partitioned by reason.
+
+    The reference only logs parse errors (emitParseError,
+    lib/postfix-doc.js:294-296); a persistent reject table is the
+    pipeline-grade equivalent — replayable, countable, and partition-
+    pruned by reject_reason for triage queries."""
+    (rejects.write.mode(mode)
+     .partitionBy("reject_reason")
+     .parquet(path))
+
+
 def sink_counts(routed: DataFrame) -> DataFrame:
     """Per-sink routed-count parity metric (BASELINE.json), plus the
     reference's per-batch new/match tallies analog. Partial+final agg —

@@ -98,6 +98,7 @@ def run_batch(
     state: Optional[StateStore] = None,
     parent_map: Optional[DataFrame] = None,
     sink_path: Optional[str] = None,
+    rejects_path: Optional[str] = None,
     bookmark: Optional[BookmarkStore] = None,
     collect_lineage: bool = True,
 ) -> BatchResult:
@@ -142,6 +143,8 @@ def run_batch(
             state.upsert(spark, routed.drop("_parent"))
         elif sink_path is not None:
             route.write_routed(routed, sink_path)
+        if rejects_path is not None:
+            route.write_rejects(pr.rejects, rejects_path)
 
         if bookmark is not None:
             manifest = {

@@ -160,6 +160,21 @@ def test_typed_sink_schema_and_values(spark, tmp_path):
     assert all(e["date"] is not None for e in d["events"])
 
 
+def test_rejects_dead_letter_sink(spark, tmp_path):
+    """Parse rejects persist to a reason-partitioned dead-letter table
+    with counts matching the in-flight reject frame."""
+    pages = datagen.generate_pages(spark, 30, n_partitions=2)  # scen 6/9 reject
+    lines = with_batch_seq(pages_to_lines(pages), 1)
+    rp = str(tmp_path / "rejects")
+    res = run_batch(spark, lines, CFG, sink_path=str(tmp_path / "sink"),
+                    rejects_path=rp)
+    stored = spark.read.parquet(rp)
+    assert stored.count() == res.rejects.count() > 0
+    reasons = {r["reject_reason"] for r in
+               stored.select("reject_reason").distinct().collect()}
+    assert reasons == {"prog_filtered", "envelope_miss", "no_qid"}
+
+
 # ----------------------------------------------------- bookmark validate
 def test_bookmark_rejects_file_path(tmp_path):
     f = tmp_path / "not_a_dir"
