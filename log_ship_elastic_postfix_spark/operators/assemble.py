@@ -105,11 +105,12 @@ def _partial_schema(order_cols: list[str]) -> StructType:
 
 def _event_key(e: dict) -> frozenset:
     """Canonical event identity for duplicate suppression: the SET of
-    non-null (field, value) items — equality matches the reference's
+    (field, value) items — equality matches the reference's
     JSON.stringify comparison for identically-shaped events without its
-    key-insertion-order sensitivity (same contract as the previous
-    sorted-tuple key, ~2× cheaper)."""
-    return frozenset((k, v) for k, v in e.items() if v is not None)
+    key-insertion-order sensitivity. Callers guarantee events are
+    null-free before keying (every append path filters first), so no
+    per-item None check is needed here."""
+    return frozenset(e.items())
 
 
 class _EventAcc:
@@ -301,10 +302,13 @@ def fold_lines(rows: Iterable[dict], seed: Optional[dict] = None) -> Optional[di
     return doc
 
 
+_EVENT_TEMPLATE = {f: None for f in EVENT_FIELDS}
+
+
 def _doc_to_row(doc: dict) -> dict:
     row = {f.name: doc.get(f.name) for f in DOC_FIELDS if f.name != "events"}
-    row["events"] = [
-        {f: e.get(f) for f in EVENT_FIELDS} for e in doc["events"]]
+    # dense (all-field) event dicts for Arrow, via C-speed dict merge
+    row["events"] = [_EVENT_TEMPLATE | e for e in doc["events"]]
     return row
 
 
