@@ -114,18 +114,23 @@ def _event_key(e: dict) -> frozenset:
 
 
 class _EventAcc:
-    """Ordered event list with O(1) duplicate suppression.
+    """Ordered event list with bounded-cost duplicate suppression.
 
     The reference's addEvent scans the whole list per append
     (lib/postfix-doc.js:271-292) — O(n²) per doc, which detonates on
     hot keys (a 100k-event relay doc needs 5×10⁹ comparisons). Same
-    semantics, constant-time membership via a key set."""
+    semantics, two regimes: typical docs (≤8 events) dedup by direct
+    dict equality (C-speed, equals the canonical frozenset identity
+    because events are null-free); beyond that a key set makes
+    membership O(1) so hot keys stay linear."""
+
+    _SMALL = 8
 
     __slots__ = ("events", "seen", "has_queued")
 
     def __init__(self, events: Optional[list[dict]] = None):
         self.events: list[dict] = []
-        self.seen: set = set()
+        self.seen: Optional[set] = None
         self.has_queued = False
         for e in events or []:
             self.append(e)
@@ -140,12 +145,18 @@ class _EventAcc:
         if e.get("action") == "queued":
             if self.has_queued:
                 return
+            self.has_queued = True
+        if self.seen is None:
+            if e in self.events:
+                return
+            self.events.append(e)
+            if len(self.events) > self._SMALL:
+                self.seen = {_event_key(ev) for ev in self.events}
+            return
         key = _event_key(e)
         if key in self.seen:
             return
         self.seen.add(key)
-        if e.get("action") == "queued":
-            self.has_queued = True
         self.events.append(e)
 
 
