@@ -1,0 +1,105 @@
+"""Plan-quality regression tests: the physical-plan properties the
+100 TB design depends on, asserted so optimizer regressions fail CI
+instead of silently degrading (PLANS.md is the human-readable dump).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_ship_elastic_postfix_spark import datagen
+from log_ship_elastic_postfix_spark.operators import enrich, route
+from log_ship_elastic_postfix_spark.operators.assemble import assemble
+from log_ship_elastic_postfix_spark.operators.parse import parse_lines
+from log_ship_elastic_postfix_spark.plans.pipeline import PipelineConfig
+from log_ship_elastic_postfix_spark.sources.pages import (
+    pages_to_lines, with_batch_seq)
+
+CFG = PipelineConfig()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    datagen.generate_pages(spark, 200, n_partitions=4) \
+        .write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, pages_path):
+    """A predicate on a scanned column must reach the parquet reader
+    (PushedFilters), and the read schema must prune to used columns."""
+    df = (spark.read.parquet(pages_path)
+          .filter(F.col("lang") == "en")
+          .select("url", "lang"))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan or "lang" in plan.split(
+        "PushedFilters")[1][:120]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema and "text" not in read_schema
+
+
+def test_pipeline_has_single_exchange_and_pruned_scan(spark, pages_path):
+    """The batch pipeline's only wide dependency is the qid exchange;
+    page text/html must not be read at all (column pruning through the
+    parse UDF)."""
+    lines = with_batch_seq(
+        pages_to_lines(spark.read.parquet(pages_path)), 1)
+    pr = parse_lines(lines, now=CFG.now,
+                     passengers=["line_no", "batch_seq"])
+    docs = assemble(pr.parsed.select(
+        "qid", "host", "date", "batch_seq", "line_no", "from", "size",
+        "nrcpt", "to", "relay", "delay", "delays", "dsn", "status"))
+    routed = route.route_docs(enrich.with_parent(docs, None))
+    plan = _plan(routed)
+    # exactly one shuffle exchange (the qid repartition)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    # the page text column is never read (html IS the raw payload the
+    # line is extracted from, so it must be scanned)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+    assert "html" in read_schema
+
+
+def test_enrich_join_is_broadcast_not_shuffle(spark, pages_path):
+    """The parent/dimension enrich must plan as BroadcastHashJoin —
+    a sort-merge join here would shuffle the full doc stream."""
+    lines = with_batch_seq(
+        pages_to_lines(spark.read.parquet(pages_path)), 1)
+    docs = assemble(parse_lines(lines, now=CFG.now).parsed)
+    parent_map = spark.createDataFrame(
+        [("30zXy", "p1")], "qid string, parent string")
+    enriched = enrich.with_parent(docs, parent_map)
+    plan = _plan(enriched)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_state_lookup_prunes_partitions(spark, pages_path, tmp_path):
+    """StateStore.lookup must filter state by the batch's route_date
+    partitions (the uniqYMD analog) — visible as a PartitionFilters
+    entry on the state scan."""
+    from log_ship_elastic_postfix_spark.operators.state import StateStore
+    from log_ship_elastic_postfix_spark.plans.pipeline import run_batch
+
+    lines = with_batch_seq(
+        pages_to_lines(spark.read.parquet(pages_path)), 1)
+    store = StateStore(str(tmp_path / "state"))
+    run_batch(spark, lines, CFG, state=store)
+    keys = spark.createDataFrame([("30zXy",)], "qid string")
+    looked = store.lookup(spark, keys, dates=["2024-07-24"])
+    plan = _plan(looked)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "route_date" in seg
