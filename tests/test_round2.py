@@ -254,6 +254,47 @@ def test_salted_equals_unsalted_across_batches(spark):
     assert plain[qid]["n_events"] == 4
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_salted_equals_unsalted_randomized(spark, seed):
+    """Randomized multi-batch, multi-qid equivalence sweep: interleaved
+    lifecycles, duplicate lines, expired/removed orders — salted must
+    stay bit-identical to the plain fold."""
+    import random
+
+    rng = random.Random(seed)
+    qids = [f"3mRND{q}zz" for q in range(6)]
+    lines = []
+    for b in range(2):
+        for i in range(120):
+            q = rng.choice(qids)
+            kind = rng.randrange(6)
+            ts = f"Jul 26 {rng.randrange(24):02d}:{rng.randrange(60):02d}:{rng.randrange(60):02d}"
+            if kind == 0:
+                line = f"{ts} mx1 postfix/qmgr[9]: {q}: from=<s{rng.randrange(3)}@x>, size={rng.randrange(999)}, nrcpt=1 (queue active)"
+            elif kind == 1:
+                line = f"{ts} mx1 postfix/smtp[9]: {q}: to=<t{rng.randrange(4)}@y>, relay=r{rng.randrange(2)}, delay=0.{rng.randrange(9)}, delays=0.1/0/0/0.1, dsn=2.0.0, status=sent (250 ok {rng.randrange(3)})"
+            elif kind == 2:
+                line = f"{ts} mx1 postfix/qmgr[9]: {q}: removed"
+            elif kind == 3:
+                line = f"{ts} mx1 postfix/cleanup[9]: {q}: message-id=<m{rng.randrange(3)}@z>"
+            elif kind == 4:
+                line = f"{ts} mx1 postfix/postsuper[9]: {q}: released from hold"
+            else:
+                line = f"{ts} mx1 postfix/qmgr[9]: {q}: from=<s@x>, status=expired, returned to sender"
+            lines.append((b, i + 1, line))
+        # exact duplicate of a random earlier line within the batch
+        dup = rng.choice(lines[-120:])
+        lines.append((b, 121, dup[2]))
+    df = spark.createDataFrame(
+        lines, "batch_seq long, line_no long, line string")
+    parsed = parse_lines(df, now=CFG.now).parsed
+    plain = {r["qid"]: r.asDict(recursive=True)
+             for r in assemble(parsed).collect()}
+    salted = {r["qid"]: r.asDict(recursive=True)
+              for r in assemble_salted(parsed, n_salts=5).collect()}
+    assert plain == salted
+
+
 # ------------------------------------------------ rspamd/rmilter parity
 def test_rspamd_event_keeps_queue_id_no_rmilter_synthesis():
     """Events strip only qid/host/prog (lib/postfix-doc.js:280-282) —
