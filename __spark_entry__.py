@@ -378,7 +378,10 @@ def q_minhash_neardup(spark, sf_dir):
     recall check the round-1 verdict asked for, as a value-hash
     equality instead of a separate metric."""
     d = _t(spark, sf_dir, "documents")
-    return (dedup.near_duplicates_minhash(d, threshold=0.5)
+    # small demo corpus: opt into the broadcast verify fast path (the
+    # operator's default is the scale-safe shuffle join)
+    return (dedup.near_duplicates_minhash(d, threshold=0.5,
+                                          broadcast_shingles=True)
             .orderBy("id_a", "id_b"))
 
 
@@ -394,7 +397,7 @@ def q_simhash_neardup(spark, sf_dir):
     tests/test_dedup_similarity.py."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return (dedup.simhash_verified_near_duplicates(
-        d, threshold=0.5, n_tables=8)
+        d, threshold=0.5, n_tables=8, broadcast_shingles=True)
         .orderBy("id_a", "id_b"))
 
 
@@ -404,7 +407,8 @@ def q_neardup_clusters(spark, sf_dir):
     pipeline actually applies). Oracle: DuckDB recursive-CTE
     reachability over the exact all-pairs set."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.near_duplicates_minhash(d, threshold=0.5) \
+    pairs = dedup.near_duplicates_minhash(d, threshold=0.5,
+                                          broadcast_shingles=True) \
         .select("id_a", "id_b")
     return dedup.connected_components(pairs).orderBy("id")
 
@@ -492,9 +496,20 @@ def q_typed_sink_projection(spark, sf_dir):
     from log_ship_elastic_postfix_spark.operators import sink_schema
 
     e = _t(spark, sf_dir, "events")
+    # tz-independent UTC rendering under ANY spark.sql.session.timeZone
+    # (the external driver session is not guaranteed UTC). The driver
+    # parquet ts is TIMESTAMP_NTZ: date_format renders its naive fields
+    # directly, so the string is already session-tz-independent and
+    # "+00:00" pins the instant the DuckDB oracle computes (epoch of
+    # naive-as-UTC). If the column were LTZ instead, date_format would
+    # render in session tz, so shift with to_utc_timestamp first —
+    # tests/test_round3.py proves end-to-end tz-independence.
+    ts = F.col("ts")
+    if dict(e.dtypes).get("ts") == "timestamp":  # LTZ flavor
+        ts = F.to_utc_timestamp(ts, F.current_timezone())
     docs = e.select(
         "event_id",
-        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
                  F.lit("+00:00")).alias("date"),
         F.concat(F.floor(F.col("value") * 1000).cast("long").cast("string"),
                  F.lit("e-3")).alias("delay"),

@@ -37,11 +37,16 @@ PROG_FILTER_RE = r"^(postfix|rspamd|rmilter)"
 
 # postfix queue-id at the head of msg: "3mPVKl0Mhjz7sXv: rest".
 # Accepted shapes: any alnum token containing a digit (long base-52
-# ids always do), OR an all-uppercase-hex/base31 token (short-format
-# ids like DEADBEEF are legitimately digit-less). Free-form prefixes
-# ("statistics:", "warning:") are lowercase words with no digit, so
-# neither alternative matches — scache statistics lines stay qid-less.
-QID_RE = r"^((?:(?=[0-9A-Za-z]*\d)[0-9A-Za-z]+)|(?:[0-9A-Z]+)):\s"
+# ids always do), OR an uppercase-HEX token of >=6 chars (short-format
+# ids like DEADBEEF are legitimately digit-less but always hex). The
+# hex restriction matters: a bare `[0-9A-Z]+` also matches NOQUEUE —
+# "postfix/smtpd ... NOQUEUE: reject: ..." is ubiquitous in real logs,
+# and treating NOQUEUE as a qid folds every reject line on every host
+# into one unbounded mega-doc (wrong doc semantics AND the exact
+# hot-key detonation the fold elsewhere defends against). Free-form
+# prefixes ("statistics:", "warning:") are lowercase words with no
+# digit, so neither alternative matches.
+QID_RE = r"^((?:(?=[0-9A-Za-z]*\d)[0-9A-Za-z]+)|(?:[0-9A-F]{6,})):\s"
 MSG_REST_RE = r"^[0-9A-Za-z]+:\s(.*)$"
 
 

@@ -310,20 +310,25 @@ def minhash_lsh_candidates(
 def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, *, text_col: str = "text",
     id_col: str = "doc_id", n_shingle: int = 3, threshold: float = 0.7,
-    broadcast_shingles: bool = True,
+    broadcast_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs.
 
-    ``broadcast_shingles=True`` broadcasts the (id, shingle-set) frame
-    into both joins so the candidate pairs never shuffle carrying
-    attached shingle arrays (~2 KB/row — the pair side is two longs and
-    must stay that way). The planner can't see the frame is small (it
-    derives from a scan+transform), so the hint is explicit. At a scale
-    where the shingle frame itself exceeds broadcast size, pass False:
-    the shuffle join then moves each shingle set once per joined side,
-    keyed by id — still no all-pairs stage."""
+    The default (``broadcast_shingles=False``) is the scale-safe
+    shuffle join keyed by id: each shingle set moves once per joined
+    side, never an all-pairs stage — at 100 TB the full (id,
+    shingle-set) corpus frame cannot be a broadcast build side.
+    ``broadcast_shingles=True`` is the small-corpus fast path (demo /
+    test scale): broadcasting the shingle frame into both joins keeps
+    the candidate pairs from shuffling at all. Callers opt IN to the
+    broadcast when they know the corpus is small; the default never
+    silently exceeds driver memory.
+
+    Either way the shingle frame is persisted so the shingle UDF runs
+    ONCE per verify, not once per join side (both join builds would
+    otherwise recompute it — it is the verify stage's entire cost)."""
     sh = df.select(F.col(id_col),
-                   shingles(F.col(text_col), n_shingle).alias("sh"))
+                   shingles(F.col(text_col), n_shingle).alias("sh")).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if broadcast_shingles:
@@ -340,6 +345,7 @@ def near_duplicates_minhash(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     n_shingle: int = 3, k: int = 32, bands: int = 8, threshold: float = 0.7,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    broadcast_shingles: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
 
@@ -352,7 +358,8 @@ def near_duplicates_minhash(
         df, text_col=text_col, id_col=id_col, n_shingle=n_shingle,
         k=k, bands=bands, max_bucket_size=max_bucket_size)
     return jaccard_pairs(df, cand, text_col=text_col, id_col=id_col,
-                         n_shingle=n_shingle, threshold=threshold)
+                         n_shingle=n_shingle, threshold=threshold,
+                         broadcast_shingles=broadcast_shingles)
 
 
 def simhash_candidates(
@@ -397,8 +404,11 @@ def simhash_near_duplicates(
     cand = simhash_candidates(
         df, text_col=text_col, id_col=id_col, n_shingle=n_shingle,
         n_tables=n_tables, max_bucket_size=max_bucket_size)
+    # persisted: both join sides below otherwise recompute the simhash
+    # UDF (the verify stage's whole cost, twice)
     sh = df.select(F.col(id_col),
-                   simhash64(F.col(text_col), n_shingle).alias("simhash"))
+                   simhash64(F.col(text_col), n_shingle).alias("simhash")) \
+        .persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -459,6 +469,7 @@ def simhash_verified_near_duplicates(
     n_shingle_sim: int = 2, n_shingle_jac: int = 3, n_tables: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    broadcast_shingles: bool = False,
 ) -> DataFrame:
     """Production simhash path: simhash-slice candidates → exact
     n-gram Jaccard verification (same verifier as the minhash path,
@@ -468,4 +479,5 @@ def simhash_verified_near_duplicates(
         df, text_col=text_col, id_col=id_col, n_shingle=n_shingle_sim,
         n_tables=n_tables, max_bucket_size=max_bucket_size)
     return jaccard_pairs(df, cand, text_col=text_col, id_col=id_col,
-                         n_shingle=n_shingle_jac, threshold=threshold)
+                         n_shingle=n_shingle_jac, threshold=threshold,
+                         broadcast_shingles=broadcast_shingles)

@@ -228,7 +228,9 @@ _ENV_ARROW = (
     r"(?P<host>\S+)\s+(?P<prog>[A-Za-z0-9._/-]+)\[(?P<pid>\d+)\]:\s+"
     r"(?P<msg>.*)$")
 _QID_REST_ARROW = r"^(?P<qid0>[0-9A-Za-z]+):\s(?P<rest>.*)$"
-_QID_VALID_ARROW = r"^(?:[0-9A-Za-z]*\d[0-9A-Za-z]*|[0-9A-Z]+)$"
+# mirrors QID_RE: digit-bearing alnum OR uppercase-hex >=6 (NOQUEUE /
+# warning-style all-caps words must NOT validate — see grammar.py)
+_QID_VALID_ARROW = r"^(?:[0-9A-Za-z]*\d[0-9A-Za-z]*|[0-9A-F]{6,})$"
 
 
 def _grok_arrow(batch, line_col: str, tz: str, now: dt.datetime,
@@ -256,7 +258,11 @@ def _grok_arrow(batch, line_col: str, tz: str, now: dt.datetime,
 
     qr = pc.extract_regex(msg, _QID_REST_ARROW)
     qid0 = pc.struct_field(qr, "qid0")
-    rest = pc.struct_field(qr, "rest")
+    # rest is masked by is_postfix exactly like the pandas engine
+    # (`rest = ....where(is_postfix)`): a non-postfix rspamd/rmilter
+    # msg matching `^\w+:\s` must NOT feed the postfix kv/status
+    # grammar, or the two engines diverge on relay/status fields
+    rest = pc.if_else(is_postfix, pc.struct_field(qr, "rest"), null_s)
     qid_valid = pc.coalesce(
         pc.match_substring_regex(qid0, _QID_VALID_ARROW), False)
     qid = pc.if_else(pc.and_(is_postfix, qid_valid), qid0, null_s)

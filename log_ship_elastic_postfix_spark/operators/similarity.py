@@ -222,12 +222,23 @@ def ivf_topk(
 
     stride = centroid_stride or max(
         1, df.count() // n_centroids if n_centroids else 1)
-    cents = (df.orderBy(id_col).limit(n_centroids * stride)
-             .filter(F.col(id_col) % stride == 0)
-             .limit(n_centroids)
+    # deterministic hash-based sample: `id % stride` assumes dense
+    # 0-based ids and selects nothing on sparse/offset id spaces;
+    # hashing is position- and density-independent, needs no global
+    # sort/window, and stays a narrow filter at corpus scale. 2×
+    # oversample then TakeOrdered(n_centroids) so short hash streaks
+    # can't under-fill; production passes trained centroids instead.
+    cents = (df.filter(
+                 F.pmod(F.xxhash64(F.col(id_col)), max(1, stride // 2)) == 0)
+             .orderBy(id_col).limit(n_centroids)
              .select(F.col(id_col).alias("cid"),
                      F.col(vec_col).alias("cvec")))
     cent_rows = cents.collect()
+    if not cent_rows:  # tiny/adversarial corpus: fall back to head ids
+        cent_rows = (df.orderBy(id_col).limit(n_centroids)
+                     .select(F.col(id_col).alias("cid"),
+                             F.col(vec_col).alias("cvec")).collect())
+    assert cent_rows, "ivf_topk: empty corpus — no centroids"
     cmat = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
