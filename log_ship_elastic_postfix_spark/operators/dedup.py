@@ -417,6 +417,38 @@ def simhash_near_duplicates(
             .filter(F.col("hamming") <= max_hamming))
 
 
+def _bidir(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every neighbor v > u re-links to m(u) = min of u's
+    closed neighborhood. One groupBy + one join, ids only."""
+    b = _bidir(edges)
+    m = (b.groupBy("src").agg(F.min("dst").alias("mn"))
+         .select("src", F.least(F.col("src"), F.col("mn")).alias("m")))
+    return (b.filter(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every smaller-neighbor v < u (and u itself)
+    re-links to m(u) = min of u's smaller closed neighborhood."""
+    b = _bidir(edges).filter(F.col("dst") < F.col("src"))
+    m = b.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (b.join(m, "src")
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+    self_link = m.select("src", F.col("m").alias("dst"))
+    return (relink.unionByName(self_link)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
 def connected_components(
     pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
     max_iter: int = 25,
@@ -426,14 +458,55 @@ def connected_components(
     component (the keeper). The canonical post-LSH step: a training
     pipeline drops all non-keepers per cluster, not per pair.
 
-    Spark has no built-in CC; this is min-label propagation — per
-    iteration each node takes the min of its own and its neighbors'
-    labels (one join + agg on id-label longs), eagerly checkpointed to
-    truncate lineage. Converges in O(component diameter) iterations;
-    near-dup clusters are shallow (diameter ≤ ~5), and ``max_iter``
-    raises if a pathological chain fails to converge (no silent
-    truncation). Shuffle volume per iteration: edges + labels, ids
-    only."""
+    Spark has no built-in CC; this is the **alternating large-star /
+    small-star algorithm** (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): each round, large-star links every
+    larger neighbor to the minimum of its neighborhood, small-star
+    links every smaller neighbor to the minimum of the smaller
+    neighborhood. Converges in O(log n) rounds regardless of component
+    diameter — a 10⁴-node path graph finishes in ≲10 rounds where
+    plain min-label propagation needs 10⁴ (the round-2 pathological
+    case, pinned by tests/test_round3.py::test_cc_long_path_converges).
+    Per-round shuffle volume: edges as id pairs only, eagerly
+    checkpointed to truncate lineage; ``max_iter`` raises on
+    non-convergence (no silent truncation). At convergence the edge
+    set is a union of stars centered at each component's minimum, so
+    the label assignment is the edge list itself plus the roots."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    if edges.isEmpty():
+        return edges.select(F.col("src").alias("id"),
+                            F.col("dst").alias("cluster_id"))
+    for _ in range(max_iter):
+        after_large = _large_star(edges).localCheckpoint(eager=True)
+        new_edges = _small_star(after_large).localCheckpoint(eager=True)
+        # fixed point: identical directed edge sets (ids-only anti joins)
+        changed = (not new_edges.join(edges, ["src", "dst"], "left_anti")
+                   .isEmpty()) or \
+                  (not edges.join(new_edges, ["src", "dst"], "left_anti")
+                   .isEmpty())
+        edges = new_edges
+        if not changed:
+            roots = (edges.select(F.col("dst").alias("id")).distinct()
+                     .join(edges.select(F.col("src").alias("id")).distinct(),
+                           "id", "left_anti"))
+            return (edges.select(F.col("src").alias("id"),
+                                 F.col("dst").alias("cluster_id"))
+                    .unionByName(roots.select(
+                        "id", F.col("id").alias("cluster_id"))))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations")
+
+
+def connected_components_labelprop(
+    pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Reference implementation: plain min-label propagation
+    (O(component-diameter) rounds — kept for differential testing of
+    the star algorithm; production uses :func:`connected_components`)."""
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(
                  pairs.select(F.col(id_b).alias("src"),

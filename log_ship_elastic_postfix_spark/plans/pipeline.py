@@ -49,6 +49,11 @@ class PipelineConfig:
     salt_hot_keys: bool = False
     n_salts: int = 8
     order_cols: tuple[str, ...] = ("batch_seq", "line_no")
+    # S7 typed sink (index-map-template projection) on the terminal
+    # write; False writes the all-string in-flight shape (the r1
+    # behavior) — bench times both so the typed feature's cost is
+    # visible separately, never conflated with pipeline regressions
+    typed_sink: bool = True
 
 
 @dataclass
@@ -142,7 +147,7 @@ def run_batch(
         if state is not None:
             state.upsert(spark, routed.drop("_parent"))
         elif sink_path is not None:
-            route.write_routed(routed, sink_path)
+            route.write_routed(routed, sink_path, typed=cfg.typed_sink)
         if rejects_path is not None:
             route.write_rejects(pr.rejects, rejects_path)
 
@@ -214,7 +219,13 @@ def run_pipeline(
     the resume path (reference: safe-log-reader bookmark). Batches run
     in ascending batch_seq so cross-batch event order is preserved
     (earlier batches commit first, lib/logship.js:112,316).
+
+    Before any input scan, the state sink is preflight-probed
+    (reference: ES ping before the reader starts, lib/logship.js:35-45)
+    — a misconfigured sink aborts here, not after the parse work.
     """
+    if state is not None:
+        state.preflight(spark)
     lines = with_batch_seq(pages_to_lines(pages), cfg.n_batches)
     results: list[BatchResult] = []
     for b in range(cfg.n_batches):

@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> None:
     bookmark = BookmarkStore(args.bookmark
                              or os.path.join(args.workdir, "bookmark"))
 
+    # sink availability gate (reference: ES ping before the reader
+    # starts, lib/logship.js:35-45) — fail before any input scan.
+    # run_pipeline re-probes internally; the streaming surface needs
+    # the explicit call.
+    state.preflight(spark)
+
     pages = spark.read.parquet(pages_path)
 
     if args.streaming:
