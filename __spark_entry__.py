@@ -13,6 +13,7 @@ their golden-doc pytest coverage in tests/.
 from __future__ import annotations
 
 import datetime as dt
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -545,6 +546,76 @@ def q_pipeline_sink_counts(spark, sf_dir):
     return route.sink_counts(_pages_docs(spark))
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (functions/urls.py) over deterministic
+    messy urls built from the documents table: case folding, default
+    ports, www strip, duplicate/trailing slashes, tracking params,
+    fragments. The DuckDB oracle states the expected canonical form in
+    closed form — a true differential check of every rule at once."""
+    from log_ship_elastic_postfix_spark.functions import urls
+
+    d = _t(spark, sf_dir, "documents")
+    messy = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.format_string(
+                "HTTP://WWW.Site%d.COM:80//a//b%d/?utm_source=x&q=%d"
+                "&fbclid=zz#frag",
+                (F.col("doc_id") % 7).cast("int"),
+                (F.col("doc_id") % 5).cast("int"),
+                F.col("doc_id").cast("int")),
+        ).otherwise(
+            F.format_string(
+                "https://Site%d.com:443/a/b%d/#x",
+                (F.col("doc_id") % 7).cast("int"),
+                (F.col("doc_id") % 5).cast("int")),
+        ).alias("url"))
+    return (messy.select(
+        "doc_id", urls.canonical_url(F.col("url")).alias("canonical_url"))
+        .orderBy("doc_id"))
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup: messy variants (www + tracking params)
+    collapse onto doc_id%100 canonical groups; keeper = lexicographic
+    min raw url (deterministic), plus the group size."""
+    from log_ship_elastic_postfix_spark.functions import urls
+
+    d = _t(spark, sf_dir, "documents")
+    messy = d.select(
+        "doc_id",
+        F.format_string(
+            "http://www.site%d.com/?utm_campaign=%d",
+            (F.col("doc_id") % 100).cast("int"),
+            F.col("doc_id").cast("int")).alias("url"))
+    out = urls.dedup_by_canonical_url(messy, url_col="url")
+    return (out.select("canonical_url", "doc_id", "n_dups")
+            .orderBy("canonical_url"))
+
+
+def q_pipeline_reject_counts(spark, sf_dir):
+    """Reject dead-letter sink parity, end-to-end THROUGH the sink:
+    run the batch with the rejects sink enabled, read the
+    reason-partitioned parquet back, count per reason. Closed form
+    over datagen's 10 lifecycle scenarios × 100 urls each: scenario 6
+    plants one prog-filtered spamd line and one envelope-miss garbage
+    line per url; scenario 9 plants one qid-less scache statistics
+    line (the reference's silent-drop path, lib/logship.js:107-111)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    pages = datagen.generate_pages(spark, 1000, n_hot=2, hot_lines=64)
+    lines = with_batch_seq(pages_to_lines(pages), 1)
+    rej_path = os.path.join(_tf.gettempdir(), "entry_rejects_sink")
+    _sh.rmtree(rej_path, ignore_errors=True)
+    run_batch(spark, lines, PipelineConfig(), rejects_path=rej_path)
+    return (spark.read.parquet(rej_path)
+            .groupBy("reject_reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("reject_reason"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full parse→assemble→enrich→route pipeline over the
     deterministic synthetic pages corpus (oracle-checked end-to-end via
@@ -587,6 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "pipeline_docs": q_pipeline_docs,
         "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_reject_counts": q_pipeline_reject_counts,
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -845,5 +919,34 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::bigint as doc_count, sum(ne)::bigint as event_count, "
             "sum(case when fin then 1 else 0 end)::bigint as final_count "
             "from e"
+        ),
+        # closed form: 100 urls per scenario; scenario 6 plants one
+        # prog-filtered spamd line + one envelope-miss garbage line,
+        # scenario 9 one qid-less scache statistics line
+        "pipeline_reject_counts": (
+            "select * from (values "
+            "('envelope_miss', 100::bigint), "
+            "('no_qid', 100::bigint), "
+            "('prog_filtered', 100::bigint)) t(reject_reason, n) "
+            "order by reject_reason"
+        ),
+        # expected canonical form in closed form: every rule of
+        # functions/urls.py stated independently of the implementation
+        "url_canonical": (
+            "select doc_id, case when doc_id % 2 = 0 then "
+            "'http://site' || (doc_id % 7) || '.com/a/b' || (doc_id % 5) "
+            " || '?q=' || doc_id "
+            "else 'https://site' || (doc_id % 7) || '.com/a/b' || "
+            "(doc_id % 5) end as canonical_url "
+            "from documents order by doc_id"
+        ),
+        "url_dedup": (
+            "with m as (select doc_id, doc_id % 100 as g, "
+            "'http://www.site' || (doc_id % 100) || '.com/?utm_campaign=' "
+            "|| doc_id as url from documents) "
+            "select 'http://site' || g || '.com/' as canonical_url, "
+            "(array_agg(doc_id order by url asc))[1] as doc_id, "
+            "count(*)::bigint as n_dups "
+            "from m group by g order by canonical_url"
         ),
     }

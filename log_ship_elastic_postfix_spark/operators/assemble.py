@@ -437,12 +437,41 @@ def assemble_salted(
         return tuple(int(lo[c]) for c in order_cols)
 
     def _partial_group(rows: list[dict]) -> dict:
+        import json as _json
+
         qid = rows[0]["qid"]
         min_ord = _okey(rows[0])
         host, date = rows[0].get("host"), rows[0].get("date")
         is_final = False
         root_sets: list[dict] = []
         events: list[dict] = []
+        # state-continuation seed (same contract as the plain fold,
+        # _fold_partition_factory): the committed doc rides in as a
+        # _seed_json row at order (−1, …), sorting first within its
+        # salt subgroup. Its roots become order-(−1,…) root_sets (so
+        # later setters overwrite, as sequential dispatch would), its
+        # events become candidates at strictly-negative order keys
+        # preserving their stored order (so the merge-phase addEvent
+        # sees them first — committed events win first-queued/dedup
+        # exactly like the plain seeded fold).
+        sj = rows[0].get("_seed_json")
+        if isinstance(sj, str) and sj:  # to_dict("records") keeps NaN
+            seed = _json.loads(sj)
+            rows = rows[1:]
+            host, date = seed.get("host"), seed.get("date")
+            is_final = bool(seed.get("isFinal"))
+            neg = dict(zip(okeys, min_ord))
+            for k in ("from", "size", "nrcpt", "uid", "delay", "delays",
+                      "message-id", "resent-message-id"):
+                if seed.get(k) is not None:
+                    root_sets.append({**neg, "field": k,
+                                      "value": str(seed[k])})
+            sevents = seed.get("events") or []
+            for j, e in enumerate(sevents):
+                rec = {f: e.get(f) for f in EVENT_FIELDS}
+                rec.update(dict(zip(
+                    okeys, (-1,) * (n_ord - 1) + (j - len(sevents),))))
+                events.append(rec)
         for lo in rows:
             doc: dict = {}
             evs: list[dict] = []

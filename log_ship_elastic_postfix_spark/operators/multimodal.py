@@ -5,9 +5,11 @@ A 100 TB training-data pipeline carries image/audio/video as
 feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` stages. The Spark-side plumbing here is real and
 tested — schemas, partition-preserving mapInPandas signatures, batch
-shapes, deterministic fake features — while the codec calls themselves
-are stubs (Pillow/ffmpeg are not in this container): swap
-``_decode_image_stub`` for a real decoder and nothing else changes.
+shapes, deterministic fake features — and the codec calls dispatch to
+**Pillow when importable** (``_try_pil``), falling back to the
+deterministic stub where the lib is absent (this container) or the
+payload is not a decodable image. The same module is production-real
+on a cluster with Pillow installed; nothing else changes.
 
 The html→text path in :mod:`..functions.html` is the same shape run
 for real: binary payload → typed extraction with a per-row invariant.
@@ -41,14 +43,63 @@ FEATURE_SCHEMA = StructType([
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB decode: a real implementation returns PIL.Image.open(...)
-    dimensions. The deterministic fake derives (width, height) from the
-    payload so tests exercise the full plumbing without codec libs."""
+    """STUB decode: the deterministic fake derives (width, height) from
+    the payload so tests exercise the full plumbing without codec
+    libs."""
     if not payload:
         raise NotImplementedError(
             "real image decode requires Pillow; empty payload has no fake")
     h = zlib.crc32(payload)
     return 64 + (h & 0x3F) * 16, 64 + ((h >> 6) & 0x3F) * 16
+
+
+def _try_pil():
+    """Optional-import hook: returns PIL.Image where Pillow is
+    installed, else None. Resolved at call time (not module import) so
+    executors and tests can inject/observe the real path
+    independently."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """Production-real decode where Pillow exists: PIL.Image dims for
+    decodable payloads; the deterministic stub otherwise (this
+    container ships no Pillow, and the test payloads are html bytes —
+    both fall through to the stub, pinned by tests)."""
+    Image = _try_pil()
+    if Image is not None:
+        import io
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return int(im.width), int(im.height)
+        except Exception:  # noqa: BLE001 — undecodable → deterministic fake
+            pass
+    return _decode_image_stub(payload)
+
+
+def _resize_image(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """(payload, cap) → (new_w, new_h, resized_bytes). Real Pillow
+    resample + re-encode where available and decodable; else the
+    deterministic size-monotonic truncation fake."""
+    w, h = _decode_image(payload)
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    Image = _try_pil()
+    if Image is not None:
+        import io
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                buf = io.BytesIO()
+                im.resize((nw, nh)).save(buf, format=im.format or "PNG")
+                return nw, nh, buf.getvalue()
+        except Exception:  # noqa: BLE001
+            pass
+    keep = max(1, int(len(payload) * (nw * nh) / (w * h)))
+    return nw, nh, bytes(payload[:keep])
 
 
 def extract_media_metadata(df: DataFrame, *, payload_col: str = "html",
@@ -61,7 +112,7 @@ def extract_media_metadata(df: DataFrame, *, payload_col: str = "html",
     def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            dims = [_decode_image_stub(p) for p in payloads]
+            dims = [_decode_image(p) for p in payloads]
             yield pd.DataFrame({
                 "url": pdf[url_col],
                 "media_type": "text/html",  # real impl: sniff magic bytes
@@ -136,19 +187,17 @@ def resize_images(df: DataFrame, *, payload_col: str = "html",
     "resample" truncates the payload proportionally to the pixel-count
     ratio (deterministic, size-monotonic) so tests pin batch shape,
     dimension math, and byte-budget behavior; PIL's
-    ``Image.resize((w, h))`` drops into the same loop body."""
+    ``Image.resize((w, h))`` runs for real when Pillow is
+    importable (see ``_resize_image``)."""
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, ws, hs, outs = [], [], [], []
             for u, b in zip(pdf[url_col], pdf[payload_col]):
-                w, h = _decode_image_stub(b)
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                keep = max(1, int(len(b) * (nw * nh) / (w * h)))
+                nw, nh, out = _resize_image(b, max_side)
                 urls.append(u)
                 ws.append(nw)
                 hs.append(nh)
-                outs.append(bytes(b[:keep]))
+                outs.append(out)
             yield pd.DataFrame({"url": urls, "width": ws, "height": hs,
                                 "payload": outs})
 

@@ -87,7 +87,9 @@ def assemble_stage(parsed: DataFrame, cfg: PipelineConfig,
     parsed = parsed.select(*[F.col(f"`{c}`") for c in keep])
     order_cols = list(cfg.order_cols)
     if state_docs is not None:
-        return merge_with_state(parsed, state_docs, order_cols=order_cols)
+        return merge_with_state(parsed, state_docs, order_cols=order_cols,
+                                salt_hot_keys=cfg.salt_hot_keys,
+                                n_salts=cfg.n_salts)
     if cfg.salt_hot_keys:
         return assemble_mod.assemble_salted(
             parsed, n_salts=cfg.n_salts, order_cols=order_cols)
