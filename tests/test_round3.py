@@ -383,6 +383,23 @@ def test_url_host_and_domain(spark):
     assert r["d"] == "example.co"
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): the canonical form is a
+    fixed point (required for url_dedup to be stable under
+    re-ingestion of already-normalized corpora)."""
+    from log_ship_elastic_postfix_spark.functions import urls
+    raws = [r for r, want in URL_CASES if want is not None]
+    raws += [f"https://www.Host{i}.example.com:443//p{i}//?utm_source=s&k={i}#f"
+             for i in range(20)]
+    df = spark.createDataFrame([(r,) for r in raws], ["url"])
+    once = df.select(urls.canonical_url(F.col("url")).alias("url"))
+    got = once.select(
+        F.col("url").alias("a"),
+        urls.canonical_url(F.col("url")).alias("b")).collect()
+    for r in got:
+        assert r["a"] == r["b"], r["a"]
+
+
 def test_dedup_by_canonical_url(spark):
     from log_ship_elastic_postfix_spark.functions import urls
     rows = [(1, "http://www.a.com/?utm_source=x"),
