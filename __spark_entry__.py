@@ -594,6 +594,33 @@ def q_url_dedup(spark, sf_dir):
             .orderBy("canonical_url"))
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (CCNet boilerplate pass,
+    operators.dedup.boilerplate_line_dedup): docs are given a shared
+    nav line + their own (corpus-unique, proven by dedup_exact's
+    emptiness) text + a per-(doc_id%3) footer; the shared lines are
+    removed everywhere, the unique text survives."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("NAV | Home | About | Login\n"),
+                 F.col("text"),
+                 F.format_string("\nCopyright footer group %d",
+                                 (F.col("doc_id") % 3).cast("int")))
+        .alias("text"))
+    out = dedup.boilerplate_line_dedup(d, min_docs=2)
+    return (out.select("doc_id", F.col("text").alias("text_deduped"),
+                       "n_lines_kept", "n_lines_dropped")
+            .orderBy("doc_id"))
+
+
+def q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary heavy hitters
+    (operators.dedup.vocabulary_counts): top-40 whitespace tokens with
+    total and document frequencies, (count desc, token) ordered."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.vocabulary_counts(d, top_k=40)
+
+
 def q_pipeline_reject_counts(spark, sf_dir):
     """Reject dead-letter sink parity, end-to-end THROUGH the sink:
     run the batch with the rejects sink enabled, read the
@@ -661,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_reject_counts": q_pipeline_reject_counts,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
+        "line_dedup": q_line_dedup,
+        "vocabulary": q_vocabulary,
     }
 
 
@@ -948,5 +977,21 @@ def oracle_sql() -> dict[str, str]:
             "(array_agg(doc_id order by url asc))[1] as doc_id, "
             "count(*)::bigint as n_dups "
             "from m group by g order by canonical_url"
+        ),
+        # closed form: the nav + footer lines are shared by >=2 docs
+        # (500 docs, 3 footer groups) and removed; the doc's own text
+        # is corpus-unique (dedup_exact proves zero exact dups) so it
+        # survives as the only kept line
+        "line_dedup": (
+            "select doc_id, text as text_deduped, 1::int as n_lines_kept, "
+            "2::int as n_lines_dropped from documents order by doc_id"
+        ),
+        "vocabulary": (
+            "with toks as (select doc_id, unnest(string_split_regex("
+            "lower(trim(text)), '\s+')) as token from documents), "
+            "t as (select * from toks where token != '') "
+            "select token, count(*)::bigint as n_occurrences, "
+            "count(distinct doc_id)::bigint as n_docs from t "
+            "group by token order by n_occurrences desc, token asc limit 40"
         ),
     }

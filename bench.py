@@ -93,7 +93,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "dedup_exact", "token_stats", "quality", "fingerprint",
              "token_jaccard_pairs", "ann_topk_dot", "minhash_neardup",
              "simhash_neardup", "embedding_neardup", "media_metadata",
-             "typed_sink_projection"]
+             "typed_sink_projection", "url_canonical", "url_dedup",
+             "line_dedup", "vocabulary"]
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in names:

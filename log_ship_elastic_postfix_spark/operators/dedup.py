@@ -554,3 +554,72 @@ def simhash_verified_near_duplicates(
     return jaccard_pairs(df, cand, text_col=text_col, id_col=id_col,
                          n_shingle=n_shingle_jac, threshold=threshold,
                          broadcast_shingles=broadcast_shingles)
+
+
+# ------------------------------------------------ line-level dedup
+def boilerplate_line_dedup(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    min_docs: int = 2, line_sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line dedup (the CCNet/RefinedWeb boilerplate
+    pass): a line whose normalized form appears in ``min_docs`` or
+    more distinct documents is removed from every document — nav bars,
+    cookie banners, share footers. Returns one row per doc:
+    ``(id, text, n_lines_kept, n_lines_dropped)`` with ``text``
+    reassembled from the surviving lines in original order.
+
+    Scale shape: lines explode narrowly; the frequency table exchanges
+    **64-bit line hashes + ids only** (group on xxhash64(norm), count
+    DISTINCT docs — within-doc repeats don't make a line boilerplate);
+    the verdict joins back by hash so line text crosses the wire once,
+    attached to its own doc's rows. Reassembly is the same single
+    exchange on the doc id the pipeline's fold uses. Empty/whitespace
+    lines are kept verbatim (they carry formatting, and counting them
+    would make '' the ultimate mega-group — the same degenerate-input
+    rule as the LSH banding above)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep))
+        .alias("pos", "ln"))
+    norm = F.lower(F.trim(F.col("ln")))
+    lines = lines.withColumn(
+        "_h", F.when(norm != "", F.xxhash64(norm)))
+    freq = (lines.filter(F.col("_h").isNotNull())
+            .groupBy("_h")
+            .agg(F.countDistinct(F.col(id_col)).alias("_ndocs")))
+    verdict = (lines.join(freq, "_h", "left")
+               .withColumn("_keep",
+                           F.col("_h").isNull()
+                           | (F.col("_ndocs") < F.lit(min_docs))))
+    per_line = F.struct(F.col("pos"), F.col("ln"), F.col("_keep"))
+    rebuilt = (verdict.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(per_line)).alias("_ls")))
+    kept = F.filter(F.col("_ls"), lambda s: s["_keep"])
+    return rebuilt.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["ln"]), line_sep)
+        .alias(text_col),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size(F.col("_ls")) - F.size(kept)).alias("n_lines_dropped"))
+
+
+# ------------------------------------------- corpus vocabulary stats
+def vocabulary_counts(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Corpus token-frequency table (vocabulary building / heavy-hitter
+    analysis): top-``top_k`` whitespace tokens by total occurrences,
+    with document frequency. Partial+final aggregation on the token;
+    the limit plans as TakeOrdered (no global sort materialization).
+    Ties broken by token for determinism."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("token")).filter(F.col("token") != "")
+    counts = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                   F.countDistinct(F.col(id_col)).alias("n_docs")))
+    return (counts.orderBy(F.col("n_occurrences").desc(),
+                           F.col("token").asc())
+            .limit(top_k))

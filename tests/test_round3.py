@@ -418,6 +418,39 @@ def test_dedup_by_canonical_url(spark):
     assert out["https://b.org/p"]["n_dups"] == 2
 
 
+# --------------------------------------- line dedup / vocabulary ops
+def test_line_dedup_rules(spark):
+    """Boilerplate removal semantics: cross-doc lines go, within-doc
+    repeats stay (frequency counts DISTINCT docs), empty lines are
+    kept verbatim, normalization is case/trim-insensitive."""
+    rows = [
+        (1, "SHARED NAV\nunique to one\n\nrepeat\nrepeat\nshared nav"),
+        (2, "  shared nav  \nonly here\nx"),
+        (3, "something else\nX"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.boilerplate_line_dedup(df, min_docs=2).collect()}
+    # doc 1: both 'shared nav' variants dropped (normalized match across
+    # docs); 'repeat' twice within ONE doc is not boilerplate; empty
+    # line kept
+    assert out[1]["text"] == "unique to one\n\nrepeat\nrepeat"
+    assert out[1]["n_lines_dropped"] == 2
+    # doc 2/3: 'x'/'X' normalize equal across two docs → dropped
+    assert out[2]["text"] == "only here"
+    assert out[2]["n_lines_dropped"] == 2
+    assert out[3]["text"] == "something else"
+    assert out[3]["n_lines_dropped"] == 1
+
+
+def test_vocabulary_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b b"), (2, "b c  a"), (3, "")], ["doc_id", "text"])
+    got = [(r["token"], r["n_occurrences"], r["n_docs"])
+           for r in dedup.vocabulary_counts(df, top_k=10).collect()]
+    assert got == [("b", 3, 2), ("a", 2, 2), ("c", 1, 1)]
+
+
 # ------------------------------- typed-sink query tz-independence (ADVICE)
 def test_typed_sink_projection_tz_independent(spark):
     """q_typed_sink_projection must hash-match the UTC oracle under any
