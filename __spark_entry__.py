@@ -621,6 +621,21 @@ def q_vocabulary(spark, sf_dir):
     return dedup.vocabulary_counts(d, top_k=40)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule composite quality filter
+    (functions.textstats.gopher_quality_flags): per-doc named rule
+    booleans + the pass conjunction, each independently
+    SQL-reproducible. min_words lowered to 10 for this short-doc
+    corpus so the word-count rule actually discriminates."""
+    d = _t(spark, sf_dir, "documents")
+    flags = textstats.gopher_quality_flags(F.col("text"), min_words=10)
+    return (d.select("doc_id", flags.alias("g"))
+            .select("doc_id", "g.word_count_ok", "g.word_len_ok",
+                    "g.symbol_ok", "g.bullet_ok", "g.stopword_ok",
+                    "g.passes")
+            .orderBy("doc_id"))
+
+
 def q_pipeline_reject_counts(spark, sf_dir):
     """Reject dead-letter sink parity, end-to-end THROUGH the sink:
     run the batch with the rejects sink enabled, read the
@@ -690,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "line_dedup": q_line_dedup,
         "vocabulary": q_vocabulary,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -993,5 +1009,29 @@ def oracle_sql() -> dict[str, str]:
             "select token, count(*)::bigint as n_occurrences, "
             "count(distinct doc_id)::bigint as n_docs from t "
             "group by token order by n_occurrences desc, token asc limit 40"
+        ),
+        "gopher_quality": (
+            "with t as (select doc_id, text, "
+            "case when trim(text) = '' then 0 else "
+            "len(string_split_regex(trim(text), '\\s+')) end as n, "
+            "string_split_regex(trim(lower(text)), '\\s+') as toks, "
+            "string_split_regex(trim(text), '\\s+') as rawtoks "
+            "from documents), "
+            "m as (select *, case when n > 0 then "
+            "list_aggregate(list_transform(rawtoks, x -> length(x)), "
+            "'sum')::double / n else 0.0 end as wl, "
+            "case when n > 0 then length(regexp_replace(text, "
+            "'[^#\u2026]', '', 'g'))::double / n else 0.0 end as symr, "
+            "case when regexp_matches(trim(text), '^[-*\u2022]') "
+            "then 1.0 else 0.0 end as bulr, "
+            "len(list_intersect(list_distinct(toks), "
+            f"[{_STOPS}])) as nstops from t) "
+            "select doc_id, n between 10 and 100000 as word_count_ok, "
+            "wl between 3.0 and 10.0 as word_len_ok, "
+            "symr <= 0.1 as symbol_ok, bulr <= 0.9 as bullet_ok, "
+            "nstops >= 2 as stopword_ok, "
+            "(n between 10 and 100000) and (wl between 3.0 and 10.0) "
+            "and symr <= 0.1 and bulr <= 0.9 and nstops >= 2 as passes "
+            "from m order by doc_id"
         ),
     }

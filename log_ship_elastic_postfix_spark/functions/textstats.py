@@ -97,3 +97,57 @@ def rolling_hash(text: Column, *, base: int = 31, mod: int = (1 << 31) - 1) -> C
             F.pmod(acc["p"] * base, F.lit(mod)).alias("p")),
         lambda acc: acc["h"])
     return state
+
+
+# ----------------------------------------------- Gopher-style filter
+def symbol_to_word_ratio(text: Column) -> Column:
+    """Symbols (#, …, ellipsis runs) per whitespace token — Gopher
+    rule: docs with ratio > 0.1 are usually scraped debris."""
+    n = token_count(text)
+    syms = F.length(F.regexp_replace(text, r"[^#…]", ""))
+    return F.when(n > 0, syms.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def bullet_line_ratio(text: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, •)."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    bullets = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    return F.when(n > 0, bullets.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def gopher_quality_flags(text: Column, *, min_words: int = 50,
+                         max_words: int = 100_000) -> Column:
+    """The Gopher (Rae et al. 2021, §A1.1) repetition-free quality
+    rules as one struct of named booleans plus the conjunction
+    ``passes`` — each rule is independently inspectable so a pipeline
+    can report per-rule drop counts (the reject-reason analog of the
+    parse stage):
+
+      word_count_ok   min_words ≤ tokens ≤ max_words
+      word_len_ok     3 ≤ mean word length ≤ 10
+      symbol_ok       symbol-to-word ratio ≤ 0.1
+      bullet_ok       ≤ 90 % of lines start with a bullet
+      stopword_ok     ≥ 2 distinct English stopwords present
+
+    Pure Catalyst — at 100 TB this is a narrow projection feeding the
+    keep-filter; no shuffle, no Python."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = token_count(text)
+    wl = mean_word_length(text)
+    distinct_stops = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    flags = {
+        "word_count_ok": (n >= min_words) & (n <= max_words),
+        "word_len_ok": (wl >= 3.0) & (wl <= 10.0),
+        "symbol_ok": symbol_to_word_ratio(text) <= 0.1,
+        "bullet_ok": bullet_line_ratio(text) <= 0.9,
+        "stopword_ok": distinct_stops >= 2,
+    }
+    passes = F.lit(True)
+    for c in flags.values():
+        passes = passes & c
+    return F.struct(*[c.alias(k) for k, c in flags.items()],
+                    passes.alias("passes"))

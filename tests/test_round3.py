@@ -451,6 +451,30 @@ def test_vocabulary_counts(spark):
     assert got == [("b", 3, 2), ("a", 2, 2), ("c", 1, 1)]
 
 
+# ------------------------------------------- gopher quality filter
+def test_gopher_flags_adversarial(spark):
+    from log_ship_elastic_postfix_spark.functions import textstats
+    good = "the quick brown fox and the lazy dog ran to the old barn " \
+           "with a friend of it near the creek in town at dawn by day"
+    rows = [
+        (1, good),                                   # passes all
+        (2, "short text the a"),                     # word_count fails
+        (3, good + " ####### ### ## # ## ## ###"),   # symbol fails
+        (4, "\n".join(["- " + good] * 10)),          # bullets fail
+        (5, ("zz " * 30).strip()),                   # stopwords fail
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flags = textstats.gopher_quality_flags(F.col("text"), min_words=10)
+    got = {r["doc_id"]: r for r in
+           df.select("doc_id", flags.alias("g")).select(
+               "doc_id", "g.*").collect()}
+    assert got[1]["passes"]
+    assert not got[2]["word_count_ok"] and not got[2]["passes"]
+    assert not got[3]["symbol_ok"] and got[3]["word_count_ok"]
+    assert not got[4]["bullet_ok"]
+    assert not got[5]["stopword_ok"] and not got[5]["passes"]
+
+
 # ------------------------------- typed-sink query tz-independence (ADVICE)
 def test_typed_sink_projection_tz_independent(spark):
     """q_typed_sink_projection must hash-match the UTC oracle under any
