@@ -636,6 +636,20 @@ def q_gopher_quality(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition half (textstats.repetition_stats): duplicate-
+    line fractions (0 on this single-line corpus — the closed-form
+    part) and top-2/3-gram character fractions (discriminating: the
+    synthetic texts repeat words). Tie-break: (count desc, gram desc),
+    mirrored exactly in the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    r = textstats.repetition_stats(F.col("text"))
+    return (d.select("doc_id", r.alias("r"))
+            .select("doc_id", "r.dup_line_frac", "r.dup_line_char_frac",
+                    "r.top_bigram_char_frac", "r.top_trigram_char_frac")
+            .orderBy("doc_id"))
+
+
 def q_pipeline_reject_counts(spark, sf_dir):
     """Reject dead-letter sink parity, end-to-end THROUGH the sink:
     run the batch with the rejects sink enabled, read the
@@ -706,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "vocabulary": q_vocabulary,
         "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1033,5 +1048,29 @@ def oracle_sql() -> dict[str, str]:
             "(n between 10 and 100000) and (wl between 3.0 and 10.0) "
             "and symr <= 0.1 and bulr <= 0.9 and nstops >= 2 as passes "
             "from m order by doc_id"
+        ),
+        "repetition_stats": (
+            "with t as (select doc_id, text, length(text) as total, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x != '') as toks from documents), "
+            "g as (select doc_id, total, n, unnest(list_transform("
+            "range(greatest(len(toks) - n + 1, 0)), i -> case when n = 2 "
+            "then toks[i+1] || ' ' || toks[i+2] else "
+            "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] end)) "
+            "as gram from t, (values (2), (3)) v(n)), "
+            "c as (select doc_id, total, n, gram, count(*) as cnt "
+            "from g group by all), "
+            "top as (select doc_id, n, "
+            "(length(gram) * cnt * 1000000 // total) / 1000000.0 "
+            "as frac, row_number() over (partition by doc_id, n "
+            "order by cnt desc, gram desc) as rk from c) "
+            "select t.doc_id, 0.0 as dup_line_frac, "
+            "0.0 as dup_line_char_frac, "
+            "coalesce(b.frac, 0.0) as top_bigram_char_frac, "
+            "coalesce(tri.frac, 0.0) as top_trigram_char_frac "
+            "from t left join (select * from top where n = 2 and rk = 1) b "
+            "using (doc_id) "
+            "left join (select * from top where n = 3 and rk = 1) tri "
+            "using (doc_id) order by t.doc_id"
         ),
     }

@@ -94,7 +94,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "token_jaccard_pairs", "ann_topk_dot", "minhash_neardup",
              "simhash_neardup", "embedding_neardup", "media_metadata",
              "typed_sink_projection", "url_canonical", "url_dedup",
-             "line_dedup", "vocabulary", "gopher_quality"]
+             "line_dedup", "vocabulary", "gopher_quality",
+             "repetition_stats"]
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in names:

@@ -151,3 +151,73 @@ def gopher_quality_flags(text: Column, *, min_words: int = 50,
         passes = passes & c
     return F.struct(*[c.alias(k) for k, c in flags.items()],
                     passes.alias("passes"))
+
+
+# ------------------------------------------ Gopher repetition rules
+REPETITION_SCHEMA = ("struct<dup_line_frac:double, dup_line_char_frac:double,"
+                     " top_bigram_char_frac:double,"
+                     " top_trigram_char_frac:double>")
+
+
+def repetition_stats(text: Column) -> Column:
+    """Within-document repetition measurements (Gopher §A1.1, the
+    repetition half): duplicate-line fraction, characters-in-duplicate-
+    lines fraction, and the character fraction covered by the most
+    frequent word 2-/3-gram (count × gram length / total chars).
+
+    This is the one textstats op that is a **pandas UDF**, not pure
+    Catalyst: per-doc n-gram counting is O(tokens) with a hash counter
+    but O(tokens²) as higher-order array expressions — at web scale
+    the Arrow-batched counter is the honest formulation. Narrow (no
+    shuffle); one batch in, one struct column out."""
+    import pandas as pd
+    from collections import Counter
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: under `from __future__ import annotations` the
+    # hints are strings and pyspark's signature inference rejects them;
+    # hintless scalar pandas_udf with a struct returnType takes the
+    # Series → DataFrame path by returnType alone
+    @pandas_udf(REPETITION_SCHEMA)
+    def rep(texts):
+        out = {k: [] for k in ("dup_line_frac", "dup_line_char_frac",
+                               "top_bigram_char_frac",
+                               "top_trigram_char_frac")}
+        for t in texts:
+            t = t or ""
+            lines = t.split("\n")
+            lc: Counter = Counter()
+            raw_len: dict = {}
+            for ln in lines:
+                k = ln.strip().lower()
+                lc[k] += 1
+                raw_len[k] = raw_len.get(k, 0) + len(ln)
+            n_lines = len(lines)
+            dup_lines = sum(c for c in lc.values() if c > 1)
+            # raw (pre-normalization) characters of duplicated lines —
+            # the fraction is of the document as written
+            dup_chars = sum(raw_len[k] for k, c in lc.items() if c > 1)
+            total_chars = len(t)
+            out["dup_line_frac"].append(
+                dup_lines / n_lines if n_lines else 0.0)
+            out["dup_line_char_frac"].append(
+                dup_chars / total_chars if total_chars else 0.0)
+            toks = t.lower().split()
+            for n, key in ((2, "top_bigram_char_frac"),
+                           (3, "top_trigram_char_frac")):
+                grams = Counter(
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1))
+                if grams and total_chars:
+                    g, c = max(grams.items(),
+                               key=lambda kv: (kv[1], kv[0]))
+                    # exact integer micro-division, not round(): python
+                    # banker's rounding vs SQL half-away disagrees on
+                    # half-way values and breaks engine parity
+                    out[key].append(
+                        (len(g) * c * 1_000_000 // total_chars) / 1e6)
+                else:
+                    out[key].append(0.0)
+        return pd.DataFrame(out)
+
+    return rep(text)

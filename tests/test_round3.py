@@ -475,6 +475,22 @@ def test_gopher_flags_adversarial(spark):
     assert not got[5]["stopword_ok"] and not got[5]["passes"]
 
 
+def test_repetition_stats_dup_lines(spark):
+    from log_ship_elastic_postfix_spark.functions import textstats
+    text = "Cookie banner\nreal content here\ncookie banner  \nmore stuff"
+    # normalized 'cookie banner' appears twice (case/trim-insensitive):
+    # dup_line_frac = 2/4; dup chars = raw lengths of both variants
+    dup_raw = len("Cookie banner") + len("cookie banner  ")
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = df.select(
+        textstats.repetition_stats(F.col("text")).alias("r")) \
+        .select("r.*").collect()[0]
+    assert r["dup_line_frac"] == 0.5
+    assert r["dup_line_char_frac"] == dup_raw / len(text)
+    assert 0 < r["top_bigram_char_frac"] < 1
+    assert 0 < r["top_trigram_char_frac"] < 1
+
+
 # ------------------------------- typed-sink query tz-independence (ADVICE)
 def test_typed_sink_projection_tz_independent(spark):
     """q_typed_sink_projection must hash-match the UTC oracle under any
