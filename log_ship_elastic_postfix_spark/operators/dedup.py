@@ -248,8 +248,11 @@ def bucket_join_pairs(
     """
     exploded = exploded.persist()
     try:
+        # sizes persisted too: the drop-count action AND the eligible
+        # join both read it — without the persist the groupBy runs
+        # twice over the exploded frame
         sizes = (exploded.groupBy(*key_cols)
-                 .agg(F.count(F.lit(1)).alias("_bsz")))
+                 .agg(F.count(F.lit(1)).alias("_bsz"))).persist()
         dropped = sizes.filter(F.col("_bsz") > max_bucket_size)
         n_dropped = dropped.count()
         if n_dropped:
@@ -273,6 +276,10 @@ def bucket_join_pairs(
         return pairs.localCheckpoint(eager=True)
     finally:
         exploded.unpersist()
+        try:
+            sizes.unpersist()
+        except NameError:
+            pass
 
 
 def minhash_lsh_candidates(

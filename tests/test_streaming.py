@@ -88,3 +88,77 @@ def test_stream_checkpoint_restart_picks_up_new_files(spark, tmp_path):
     for qid in b:
         assert a[qid]["n_events"] == b[qid]["n_events"], qid
         assert a[qid]["isFinal"] == b[qid]["isFinal"], qid
+
+
+@pytest.mark.timeout(300)
+def test_windowed_metrics_stream_matches_batch(spark, tmp_path):
+    """Watermarked windowed ingest metrics (complete mode): the drained
+    stream's per-(window, lang) counts equal the batch groupBy over the
+    same table."""
+    from pyspark.sql import functions as F
+    from log_ship_elastic_postfix_spark.streaming.metrics import (
+        start_ingest_metrics_stream, windowed_ingest_metrics)
+
+    pages_path = str(tmp_path / "mpages")
+    datagen.generate_pages(spark, 60, n_partitions=3) \
+        .write.mode("overwrite").parquet(pages_path)
+
+    q = start_ingest_metrics_stream(
+        spark, pages_path, checkpoint_dir=str(tmp_path / "mckpt"),
+        output_mode="complete", query_name="m_complete",
+        available_now=True)
+    q.awaitTermination(240)
+
+    got = {(r["window_start"], r["lang"]): (r["n_rows"], r["n_bytes"])
+           for r in spark.sql("select * from m_complete").collect()}
+    pages = spark.read.parquet(pages_path)
+    want = {(r["window_start"], r["lang"]): (r["n_rows"], r["n_bytes"])
+            for r in (pages.groupBy(
+                F.window("warc_ts", "1 hour").alias("w"), "lang")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.length("html")).alias("n_bytes"))
+                .select(F.col("w.start").alias("window_start"), "lang",
+                        "n_rows", "n_bytes")).collect()}
+    assert got == want
+    assert len(got) > 1
+
+
+@pytest.mark.timeout(300)
+def test_windowed_metrics_append_emits_finalized_windows(spark, tmp_path):
+    """Append mode + watermark: after draining, only windows whose end
+    precedes the final watermark are emitted to the sink — each exactly
+    once, state dropped (the bounded-state contract)."""
+    from pyspark.sql import functions as F
+    from log_ship_elastic_postfix_spark.streaming.metrics import (
+        start_ingest_metrics_stream)
+
+    pages_path = str(tmp_path / "apages")
+    pages = datagen.generate_pages(spark, 60, n_partitions=3)
+    pages.write.mode("overwrite").parquet(pages_path)
+    out = str(tmp_path / "metrics_out")
+
+    q = start_ingest_metrics_stream(
+        spark, pages_path, checkpoint_dir=str(tmp_path / "ackpt"),
+        out_path=out, output_mode="append", watermark="2 hours",
+        available_now=True)
+    q.awaitTermination(240)
+
+    emitted = spark.read.parquet(out)
+    max_ts = pages.agg(F.max("warc_ts")).collect()[0][0]
+    import datetime as dt
+    wm = max_ts - dt.timedelta(hours=2)
+    # every emitted window is finalized (closed before the watermark)
+    for r in emitted.collect():
+        assert r["window_end"] <= wm, (r["window_end"], wm)
+    # exactly-once: no duplicate (window, lang) rows
+    n = emitted.count()
+    assert n == emitted.select("window_start", "lang").distinct().count()
+    # the batch truth agrees on every emitted row
+    want = {(r["window_start"], r["lang"]): r["n_rows"]
+            for r in (pages.groupBy(
+                F.window("warc_ts", "1 hour").alias("w"), "lang")
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .select(F.col("w.start").alias("window_start"), "lang",
+                        "n_rows")).collect()}
+    for r in emitted.collect():
+        assert want[(r["window_start"], r["lang"])] == r["n_rows"]
