@@ -650,6 +650,28 @@ def q_repetition_stats(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_clean_corpus(spark, sf_dir):
+    """End-to-end corpus-cleaning composition (plans.corpus.clean_corpus):
+    planted exact duplicates (doc_id<30 at +10000) removed by the exact
+    stage, near-dup cluster non-keepers (jaccard>=0.5, CC minimum wins)
+    removed next, then the Gopher quality gate (min_words=10). Oracle:
+    the same survivor set derived in SQL — exact keepers are the
+    originals by id order, the CC labels come from the recursive-CTE
+    reachability over the exact all-pairs jaccard set, quality mirrors
+    the gopher_quality oracle."""
+    from log_ship_elastic_postfix_spark.plans.corpus import (
+        CleanResult, CorpusCleanConfig, clean_corpus)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.filter(F.col("doc_id") < 30)
+               .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    un = d.unionByName(planted)
+    res = clean_corpus(un, CorpusCleanConfig(
+        neardup_threshold=0.5, quality_min_words=10,
+        broadcast_shingles=True))
+    return res.docs.select("doc_id").orderBy("doc_id")
+
+
 def q_pipeline_reject_counts(spark, sf_dir):
     """Reject dead-letter sink parity, end-to-end THROUGH the sink:
     run the batch with the rejects sink enabled, read the
@@ -721,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -1072,5 +1095,40 @@ def oracle_sql() -> dict[str, str]:
             "using (doc_id) "
             "left join (select * from top where n = 3 and rk = 1) tri "
             "using (doc_id) order by t.doc_id"
+        ),
+        # composed cleaning chain: planted exact dups (+10000) fall to
+        # the exact stage (keeper = original, lower id), so the
+        # survivor set reduces to documents minus CC non-keepers minus
+        # quality failures — each piece reusing its stage's own oracle
+        "clean_corpus": (
+            "with recursive "
+            f"jp as ({_JACCARD_PAIRS_SQL}), "
+            "edges as (select id_a as a, id_b as b from jp "
+            " union select id_b, id_a from jp), "
+            "reach(a, b) as (select a, b from edges "
+            " union select r.a, e.b from reach r join edges e on r.b = e.a), "
+            "labels as (select a as id, least(a, min(b)) as cluster_id "
+            " from reach group by a), "
+            "losers as (select id from labels where id != cluster_id), "
+            "t as (select doc_id, text, "
+            "case when trim(text) = '' then 0 else "
+            "len(string_split_regex(trim(text), '\\s+')) end as n, "
+            "string_split_regex(trim(lower(text)), '\\s+') as toks, "
+            "string_split_regex(trim(text), '\\s+') as rawtoks "
+            "from documents), "
+            "m as (select *, case when n > 0 then "
+            "list_aggregate(list_transform(rawtoks, x -> length(x)), "
+            "'sum')::double / n else 0.0 end as wl, "
+            "case when n > 0 then length(regexp_replace(text, "
+            "'[^#…]', '', 'g'))::double / n else 0.0 end as symr, "
+            "case when regexp_matches(trim(text), '^[-*•]') "
+            "then 1.0 else 0.0 end as bulr, "
+            "len(list_intersect(list_distinct(toks), "
+            f"[{_STOPS}])) as nstops from t) "
+            "select doc_id from m "
+            "where doc_id not in (select id from losers) "
+            "and n between 10 and 100000 and wl between 3.0 and 10.0 "
+            "and symr <= 0.1 and bulr <= 0.9 and nstops >= 2 "
+            "order by doc_id"
         ),
     }

@@ -1,0 +1,99 @@
+"""Composed corpus-cleaning plan: the end-to-end pass a training-data
+pipeline actually runs, chaining this repo's operators in the standard
+order:
+
+    url dedup → boilerplate line dedup → exact dedup
+      → MinHash near-dup clustering (keep cluster minimum)
+      → Gopher quality filter
+
+Each stage is optional via config; the result carries the surviving
+docs plus per-stage row counts (the drop-accounting every corpus paper
+reports). Scale notes: every stage reuses the operator's documented
+100 TB shape (hash-keyed exchanges, id-only candidate flows, no
+collect of doc bodies); the per-stage counts are bounded driver
+metadata (one long per stage). Stages are eagerly localCheckpoint-ed
+so a later stage never re-runs an earlier stage's shuffle and the
+count actions don't double-execute lineage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textstats
+from ..functions.urls import dedup_by_canonical_url
+from ..operators import dedup
+
+
+@dataclass
+class CorpusCleanConfig:
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    url_col: Optional[str] = None            # enables url dedup
+    line_dedup_min_docs: Optional[int] = None  # enables boilerplate pass
+    exact_dedup: bool = True
+    neardup_threshold: Optional[float] = 0.7  # None disables
+    minhash_k: int = 32
+    minhash_bands: int = 8
+    quality_min_words: Optional[int] = 50     # None disables
+    broadcast_shingles: bool = False          # small-corpus fast path
+
+
+@dataclass
+class CleanResult:
+    docs: DataFrame
+    stage_counts: dict = field(default_factory=dict)
+
+
+def clean_corpus(df: DataFrame, cfg: CorpusCleanConfig) -> CleanResult:
+    id_c, text_c = cfg.id_col, cfg.text_col
+    counts: dict = {}
+
+    def _ckpt(frame: DataFrame, stage: str) -> DataFrame:
+        frame = frame.localCheckpoint(eager=True)
+        counts[stage] = frame.count()
+        return frame
+
+    cur = _ckpt(df, "input")
+
+    if cfg.url_col:
+        kept = dedup_by_canonical_url(cur, url_col=cfg.url_col)
+        cur = _ckpt(kept.drop("canonical_url", "n_dups"), "url_dedup")
+
+    if cfg.line_dedup_min_docs:
+        rebuilt = dedup.boilerplate_line_dedup(
+            cur, text_col=text_c, id_col=id_c,
+            min_docs=cfg.line_dedup_min_docs)
+        # re-attach any passenger columns by id; text is replaced
+        passengers = [c for c in cur.columns if c not in (id_c, text_c)]
+        if passengers:
+            rebuilt = rebuilt.join(cur.select(id_c, *passengers), id_c)
+        cur = _ckpt(rebuilt.drop("n_lines_kept", "n_lines_dropped"),
+                    "line_dedup")
+
+    if cfg.exact_dedup:
+        dups = dedup.duplicate_assignments(cur, text_col=text_c,
+                                           id_col=id_c)
+        cur = _ckpt(cur.join(dups.select(id_c), id_c, "left_anti"),
+                    "exact_dedup")
+
+    if cfg.neardup_threshold is not None:
+        pairs = dedup.near_duplicates_minhash(
+            cur, text_col=text_c, id_col=id_c, k=cfg.minhash_k,
+            bands=cfg.minhash_bands, threshold=cfg.neardup_threshold,
+            broadcast_shingles=cfg.broadcast_shingles)
+        labels = dedup.connected_components(pairs.select("id_a", "id_b"))
+        losers = (labels.filter(F.col("id") != F.col("cluster_id"))
+                  .select(F.col("id").alias(id_c)))
+        cur = _ckpt(cur.join(losers, id_c, "left_anti"), "neardup")
+
+    if cfg.quality_min_words is not None:
+        flags = textstats.gopher_quality_flags(
+            F.col(text_c), min_words=cfg.quality_min_words)
+        cur = _ckpt(cur.filter(flags["passes"]), "quality")
+
+    return CleanResult(docs=cur, stage_counts=counts)

@@ -443,6 +443,69 @@ def test_line_dedup_rules(spark):
     assert out[3]["n_lines_dropped"] == 1
 
 
+def test_line_dedup_mega_boilerplate_skew(spark):
+    """Planted skew: one boilerplate line present in every one of 20k
+    docs. The frequency exchange carries (hash, count) only — one row
+    for the hot line — and the verdict hash-join fans the small freq
+    side across the line partitions; completes quickly and drops the
+    line everywhere."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("SHARED COOKIE BANNER\nunique-"),
+                 F.col("id").cast("string")).alias("text"))
+    out = dedup.boilerplate_line_dedup(df, min_docs=2)
+    agg = out.agg(
+        F.sum("n_lines_dropped").alias("d"),
+        F.sum("n_lines_kept").alias("k"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    assert agg["n"] == n and agg["d"] == n and agg["k"] == n
+
+
+def test_clean_corpus_stages(spark):
+    """All five stages wired: url dedup, boilerplate line dedup, exact
+    dedup, near-dup clustering, quality — stage counts monotone and the
+    survivor set is exactly the planted expectation."""
+    from log_ship_elastic_postfix_spark.plans.corpus import (
+        CorpusCleanConfig, clean_corpus)
+
+    base = ("the quick brown fox and the lazy dog ran to the old barn "
+            "with a friend of it near the creek in town at dawn")
+    rows = [
+        # 1+2: same canonical url (tracking param) → url dedup keeps 1
+        (1, "http://a.com/x", "NAV\n" + base),
+        (2, "http://a.com/x?utm_source=z", "NAV\nwhatever"),
+        # 3+4: exact dup text after boilerplate strip → exact keeps 3
+        (3, "http://b.com/1", "NAV\n" + base),
+        (4, "http://b.com/2", "NAV\n" + base),
+        # 5: near-dup of base (one word changed) → CC loser vs min id
+        (5, "http://c.com/1", "NAV\n" + base.replace("dawn", "dusk")),
+        # 6: unique but low quality (too short)
+        (6, "http://d.com/1", "NAV\ntiny text the a"),
+        # 7: unique, passes everything
+        (7, "http://e.com/1",
+         "NAV\nan entirely different tale about a ship and the sea "
+         "that sails for days with the wind at its back to the port"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    # line_dedup_min_docs=4: NAV (7 docs) is boilerplate; the base
+    # content line (3 docs) is NOT — with min_docs=2 the exact-dup
+    # content lines would be nuked by the line pass before the exact
+    # stage ever saw them (a real interleaving hazard, now documented)
+    res = clean_corpus(df, CorpusCleanConfig(
+        url_col="url", line_dedup_min_docs=4, neardup_threshold=0.5,
+        quality_min_words=10, broadcast_shingles=True))
+    sc = res.stage_counts
+    assert sc["input"] == 7
+    assert sc["url_dedup"] == 6    # 2 collapsed into 1
+    assert sc["line_dedup"] == 6   # NAV stripped everywhere, rows kept
+    assert sc["exact_dedup"] == 4  # 3/4 collapse into 1 (same text)
+    assert sc["neardup"] == 3      # 5 is 1's near-dup, CC min wins
+    assert sc["quality"] == 2      # 6 is too short
+    survivors = {r["doc_id"] for r in res.docs.collect()}
+    assert survivors == {1, 7}
+
+
 def test_vocabulary_counts(spark):
     df = spark.createDataFrame(
         [(1, "a b b"), (2, "b c  a"), (3, "")], ["doc_id", "text"])
