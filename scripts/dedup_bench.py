@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Dedup-family scale bench: MinHash near-dup + exact dedup + line
+dedup throughput on a synthetic corpus 20-100× the driver documents
+table, so the scale claims in operators/dedup.py carry measured
+numbers instead of extrapolation.
+
+Corpus: deterministic word-salad docs (~60 tokens each) with planted
+near-duplicate pairs (1 in 16 docs is a 3-token mutation of its
+predecessor) and exact duplicates (1 in 32). Prints one JSON line:
+
+    {"n_docs": N, "minhash_sec": ..., "minhash_docs_per_sec": ...,
+     "exact_sec": ..., "line_dedup_sec": ..., "n_neardup_pairs": ...}
+
+Run: python scripts/dedup_bench.py [n_docs]  (default 100_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import build_spark  # noqa: E402
+
+
+def synth_docs(spark, n: int):
+    """Deterministic synthetic corpus, generated distributed (no
+    driver-side rows): 60-token docs over a 64-word vocabulary;
+    doc i with i%16==1 mutates doc i-1 in 3 token positions (planted
+    near-dup, jaccard ~0.8); i%32==4 copies i-1 verbatim (planted
+    exact dup — i-1 is never itself a mutant)."""
+    from pyspark.sql import functions as F
+
+    vocab = [f"w{j:02d}" for j in range(64)]
+    vocab_sql = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    d = spark.range(0, n, 1, 64).withColumnRenamed("id", "doc_id")
+    # one base key per doc: mutants (i%16==1) derive from i-1, exact
+    # copies (i%32==4) copy i-1 (which is never itself a mutant, so
+    # the copy is byte-identical)
+    key = (F.when(F.col("doc_id") % 16 == 1, F.col("doc_id") - 1)
+           .when(F.col("doc_id") % 32 == 4, F.col("doc_id") - 1)
+           .otherwise(F.col("doc_id")))
+    d = d.withColumn("k", key).withColumn(
+        "is_mut", F.col("doc_id") % 16 == 1)
+    # xxhash64, not modular-linear mixing: (a·k + b·t) mod 64 is still
+    # linear in (k mod 64, t) and collapses the corpus to 64 documents
+    tok = ("element_at({v}, int(pmod(xxhash64(k, t), 64)) + 1)"
+           ).format(v=vocab_sql)
+    mut = ("element_at({v}, int(pmod(xxhash64(doc_id, t, 7), 61)) + 1)"
+           ).format(v=vocab_sql)
+    text = F.expr(
+        f"array_join(transform(sequence(0, 59), t -> case "
+        f"when is_mut and t % 20 = 5 then {mut} else {tok} end), ' ')")
+    return d.select("doc_id", text.alias("text"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from log_ship_elastic_postfix_spark.operators import dedup
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(cpus, shuffle_partitions=max(64, cpus * 2),
+                        python_heavy=True)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synth_docs(spark, n)
+    path = os.path.join(os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp"),
+                        f"dedup_bench_{n}")
+    if not os.path.exists(path):
+        docs.write.mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+
+    # warm (small slice through the same plans)
+    warm = corpus.limit(2000)
+    dedup.near_duplicates_minhash(warm, threshold=0.6).count()
+
+    t0 = time.monotonic()
+    pairs = dedup.near_duplicates_minhash(corpus, threshold=0.6)
+    n_pairs = pairs.count()
+    minhash_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    n_exact = dedup.duplicate_assignments(corpus).count()
+    exact_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    ld = dedup.boilerplate_line_dedup(
+        corpus.withColumn(
+            "text", F.concat(F.lit("BOILER\n"), F.col("text"))),
+        min_docs=2)
+    ld.write.format("noop").mode("overwrite").save()
+    line_sec = time.monotonic() - t0
+
+    print(json.dumps({
+        "n_docs": n,
+        "minhash_sec": round(minhash_sec, 2),
+        "minhash_docs_per_sec": round(n / minhash_sec, 1),
+        "n_neardup_pairs": n_pairs,
+        "n_exact_dup_assignments": n_exact,
+        "exact_sec": round(exact_sec, 2),
+        "exact_docs_per_sec": round(n / exact_sec, 1),
+        "line_dedup_sec": round(line_sec, 2),
+        "line_dedup_docs_per_sec": round(n / line_sec, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
