@@ -101,7 +101,8 @@ _TOKEN = st.text(
 def raw_line(draw) -> str:
     kind = draw(st.sampled_from(
         ["qmgr", "smtp", "removed", "cleanup", "scache", "rspamd",
-         "garbage", "empty", "weird_msg", "hexqid", "lowerqid"]))
+         "garbage", "empty", "weird_msg", "hexqid", "lowerqid",
+         "capsword"]))
     host = draw(st.sampled_from(["mx1", "mx2.example.com"]))
     stamp = (f"Jul {draw(st.integers(1, 28)):2d} "
              f"{draw(st.integers(0, 23)):02d}:"
@@ -142,6 +143,15 @@ def raw_line(draw) -> str:
                 f"from=<a@b>, size=5, nrcpt=1 (queue active)")
     if kind == "lowerqid":
         return f"{stamp} {host} postfix/qmgr[{pid}]: warning: odd message"
+    if kind == "capsword":
+        # digit-less all-caps words: NOQUEUE-style rejects and short
+        # caps tokens must NOT become qids (uppercase-hex>=6 rule);
+        # engines must agree on every one
+        word = draw(st.sampled_from(
+            ["NOQUEUE", "TLS", "ABCDEF", "FEEDFACE", "REJECT", "CAFE"]))
+        return (f"{stamp} {host} postfix/smtpd[{pid}]: {word}: "
+                f"reject: RCPT from unknown[1.2.3.4]: 554 blocked, "
+                f"to=<u@x.net>")
     # weird_msg: arbitrary payload after a valid envelope
     payload = draw(st.text(_MSG_CHARS, min_size=1, max_size=80))
     return f"{stamp} {host} postfix/smtp[{pid}]: {payload}"
