@@ -6,7 +6,8 @@ Headline metric: end-to-end parse→assemble→route throughput (docs/sec)
 over the deterministic synthetic pages table sized to the scale factor
 (BASELINE.json metric), with per-query wall seconds for the rest of the
 operator suite. ``--scaling`` runs the same pipeline at two parallelism
-levels (local[8] vs local[32]) and reports throughput at both plus the
+levels with a 4x slot ratio (local[2] vs local[8], each process tree
+core-pinned to 2x its slots) and reports throughput at both plus the
 scaling efficiency (BASELINE.md north-rule evidence).
 """
 
