@@ -176,11 +176,17 @@ def main() -> None:
     docs_per_sec = n_docs / sec if sec > 0 else 0.0
 
     # typed-vs-untyped split: the S7 sink-typing projection is part of
-    # the headline (typed=True above); one untyped run makes its cost
+    # the headline (typed=True above); the untyped runs make its cost
     # visible so a typed-sink change can never masquerade as a
-    # pipeline regression (round-2 verdict ask)
+    # pipeline regression (round-2 verdict ask). Best-of-two: a single
+    # run is exposed to the same session variance the headline guards
+    # against (one sweep measured 14 s untyped vs 6.5 s typed — pure
+    # noise, not a negative typing cost)
     sec_untyped, _ = run_pipeline_e2e(spark, pages_path, sink,
                                       typed_sink=False)
+    sec_u2, _ = run_pipeline_e2e(spark, pages_path, sink,
+                                 typed_sink=False)
+    sec_untyped = min(sec_untyped, sec_u2)
 
     queries = {"pipeline_e2e": round(sec, 3),
                "pipeline_e2e_untyped": round(sec_untyped, 3)}
