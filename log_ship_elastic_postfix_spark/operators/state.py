@@ -72,6 +72,36 @@ class StateStore:
                 f"sink/state path {self.path!r} failed preflight "
                 f"write probe: {exc}") from exc
 
+    def compact(self, spark: SparkSession) -> bool:
+        """Small-file maintenance — the Iceberg ``rewrite_data_files``
+        / OPTIMIZE analog. Every micro-batch upsert writes its own
+        parquet files into the partitions it touches, so a hot
+        ``(sink, route_date)`` partition accumulates one file set per
+        batch; at 10⁴ batches/day the read-side file count (and footer
+        metadata) dominates lookup latency. Compaction rewrites each
+        partition to one file per partition key: one shuffle keyed on
+        the partition columns, content-identical output, dynamic
+        overwrite scoped to the partitions read. Returns True iff a
+        rewrite happened. Run out-of-band (the upsert path never needs
+        it for correctness — pinned by the replay tests)."""
+        state = self.read(spark)
+        if state is None:
+            return False
+        compacted = state.repartition("sink", "route_date") \
+            .localCheckpoint(eager=True)  # materialize BEFORE the
+        # overwrite: the write would otherwise read the very files it
+        # is replacing
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (compacted.write.mode("overwrite")
+             .partitionBy("sink", "route_date")
+             .parquet(self.path))
+        finally:
+            spark.conf.set(conf_key, prev)
+        return True
+
     def read(self, spark: SparkSession) -> Optional[DataFrame]:
         if not self.exists(spark):
             return None

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streaming", action="store_true",
                    help="run the Structured Streaming surface "
                         "(availableNow drain) instead of the batch loop")
+    p.add_argument("--compact", action="store_true",
+                   help="compact the state table (one file per "
+                        "partition, content-identical) and exit — the "
+                        "out-of-band OPTIMIZE maintenance job")
     return p
 
 
@@ -68,6 +72,14 @@ def main(argv: list[str] | None = None) -> None:
         DEFAULT_NOW, PipelineConfig, run_pipeline)
     from log_ship_elastic_postfix_spark.sources.bookmark import BookmarkStore
 
+    state = StateStore(args.state or os.path.join(args.workdir, "state"))
+
+    if args.compact:  # maintenance mode: no input needed
+        did = state.compact(spark)
+        print(json.dumps({"compacted": did}))
+        spark.stop()
+        return
+
     pages_path = args.pages
     if args.generate:
         pages_path = os.path.join(args.workdir, "pages")
@@ -81,7 +93,7 @@ def main(argv: list[str] | None = None) -> None:
     cfg = PipelineConfig(tz=args.tz, now=now, n_batches=args.batches,
                          salt_hot_keys=args.salt_hot_keys,
                          n_salts=args.n_salts)
-    state = StateStore(args.state or os.path.join(args.workdir, "state"))
+
     bookmark = BookmarkStore(args.bookmark
                              or os.path.join(args.workdir, "bookmark"))
 

@@ -554,6 +554,34 @@ def test_repetition_stats_dup_lines(spark):
     assert 0 < r["top_trigram_char_frac"] < 1
 
 
+# ---------------------------------------------- state compaction
+def test_state_compact_merges_files_content_identical(spark, tmp_path):
+    """Three upserts into the same day-partition leave multiple file
+    sets; compact() rewrites each partition to one file with identical
+    content."""
+    from log_ship_elastic_postfix_spark.operators.state import StateStore
+
+    store = StateStore(str(tmp_path / "state"))
+    cols = ["qid", "sink", "route_date", "payload"]
+    for i in range(3):
+        rows = [(f"q{i}_{j}", "postfix-orphan", "2024-07-01", f"v{i}")
+                for j in range(4)]
+        store.upsert(spark, spark.createDataFrame(rows, cols))
+
+    part = str(tmp_path / "state/sink=postfix-orphan/route_date=2024-07-01")
+    before_files = glob.glob(f"{part}/*.parquet")
+    before = {tuple(r) for r in spark.read.parquet(
+        str(tmp_path / "state")).collect()}
+    assert len(before_files) > 1, "precondition: fragmented partition"
+
+    assert store.compact(spark)
+    after_files = glob.glob(f"{part}/*.parquet")
+    assert len(after_files) == 1
+    after = {tuple(r) for r in spark.read.parquet(
+        str(tmp_path / "state")).collect()}
+    assert after == before
+
+
 # ------------------------------- typed-sink query tz-independence (ADVICE)
 def test_typed_sink_projection_tz_independent(spark):
     """q_typed_sink_projection must hash-match the UTC oracle under any
