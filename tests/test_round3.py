@@ -400,6 +400,35 @@ def test_canonical_url_idempotent(spark):
         assert r["a"] == r["b"], r["a"]
 
 
+def test_canonical_url_total_and_idempotent_fuzz(spark):
+    """Arbitrary (including hostile) strings: canonicalization never
+    throws, yields NULL or an idempotent fixed point."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from log_ship_elastic_postfix_spark.functions import urls
+
+    @given(st.lists(st.one_of(
+        st.text(max_size=60),
+        st.from_regex(r"[A-Za-z]{1,6}://[^ ]{0,40}", fullmatch=True)),
+        min_size=1, max_size=30))
+    @settings(max_examples=15, deadline=None)
+    def run(raws):
+        df = spark.createDataFrame([(r,) for r in raws], ["url"])
+        got = df.select(
+            urls.canonical_url(F.col("url")).alias("c")).collect()
+        once = [r["c"] for r in got]
+        df2 = spark.createDataFrame(
+            [(c,) for c in once if c is not None] or [("x",)], ["url"])
+        twice = {r["a"]: r["b"] for r in df2.select(
+            F.col("url").alias("a"),
+            urls.canonical_url(F.col("url")).alias("b")).collect()}
+        for c in once:
+            if c is not None:
+                assert twice[c] == c, c
+
+    run()
+
+
 def test_dedup_by_canonical_url(spark):
     from log_ship_elastic_postfix_spark.functions import urls
     rows = [(1, "http://www.a.com/?utm_source=x"),
