@@ -77,6 +77,28 @@ def main() -> None:
         "one scan per batch)",
         pr_cached.parsed.select("qid").groupBy().count()))
 
+    # 5. LSH near-dup family (localCheckpoint patched to identity so
+    # the candidate joins stay visible; production truncates lineage)
+    from pyspark.sql import DataFrame as _DF
+    orig_ckpt = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self  # type: ignore
+    try:
+        from log_ship_elastic_postfix_spark.operators import dedup as dd
+        docs_small = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i % 5} epsilon zeta {i % 3}")
+             for i in range(50)], ["doc_id", "text"])
+        sections.append((
+            "minhash near-dup (sig → band/bucket exchange → capped "
+            "self-join → shuffle-join verify; ids/hashes only on every "
+            "exchange)",
+            dd.near_duplicates_minhash(docs_small, threshold=0.5)))
+        sections.append((
+            "cross-doc line dedup (hash-keyed freq → verdict join → "
+            "doc reassembly)",
+            dd.boilerplate_line_dedup(docs_small, min_docs=2)))
+    finally:
+        _DF.localCheckpoint = orig_ckpt
+
     buf = io.StringIO()
     with redirect_stdout(buf):
         for title, df in sections:
