@@ -40,6 +40,10 @@ class CorpusCleanConfig:
     minhash_k: int = 32
     minhash_bands: int = 8
     quality_min_words: Optional[int] = 50     # None disables
+    # Gopher repetition gate (None disables): drop docs whose most
+    # frequent word 2-gram covers more than this character fraction,
+    # or whose duplicate-line char fraction exceeds it
+    repetition_max_frac: Optional[float] = None
     broadcast_shingles: bool = False          # small-corpus fast path
 
 
@@ -95,5 +99,11 @@ def clean_corpus(df: DataFrame, cfg: CorpusCleanConfig) -> CleanResult:
         flags = textstats.gopher_quality_flags(
             F.col(text_c), min_words=cfg.quality_min_words)
         cur = _ckpt(cur.filter(flags["passes"]), "quality")
+
+    if cfg.repetition_max_frac is not None:
+        rep = textstats.repetition_stats(F.col(text_c))
+        keep = ((rep["top_bigram_char_frac"] <= cfg.repetition_max_frac)
+                & (rep["dup_line_char_frac"] <= cfg.repetition_max_frac))
+        cur = _ckpt(cur.filter(keep), "repetition")
 
     return CleanResult(docs=cur, stage_counts=counts)

@@ -535,6 +535,28 @@ def test_clean_corpus_stages(spark):
     assert survivors == {1, 7}
 
 
+def test_clean_corpus_repetition_gate(spark):
+    """Optional repetition stage: a spam doc dominated by one repeated
+    bigram is dropped; normal prose passes."""
+    from log_ship_elastic_postfix_spark.plans.corpus import (
+        CorpusCleanConfig, clean_corpus)
+
+    prose = ("the quick brown fox and the lazy dog ran to the old barn "
+             "with a friend of it near the creek in town at dawn")
+    # spam passes every QUALITY rule (word count, mean word length
+    # 3-10, stopwords) but one bigram dominates its characters
+    spam = "the best offer " * 20 + "and now"
+    df = spark.createDataFrame(
+        [(1, prose), (2, spam)], ["doc_id", "text"])
+    res = clean_corpus(df, CorpusCleanConfig(
+        exact_dedup=False, neardup_threshold=None,
+        quality_min_words=10, repetition_max_frac=0.2))
+    assert res.stage_counts["quality"] == 2, \
+        "spam must survive quality so the repetition stage is the gate"
+    assert res.stage_counts["repetition"] == 1
+    assert {r["doc_id"] for r in res.docs.collect()} == {1}
+
+
 def test_vocabulary_counts(spark):
     df = spark.createDataFrame(
         [(1, "a b b"), (2, "b c  a"), (3, "")], ["doc_id", "text"])
