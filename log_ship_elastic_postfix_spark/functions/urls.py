@@ -30,7 +30,10 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 # host[:port] is everything between scheme:// and the first / ? #
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored so the '?' must occur BEFORE any '#': a '?' inside the
+# fragment ('http://h/p#f?x=1') is fragment content, not a query, and
+# rule 3 drops it entirely (the lazy [^#]*? prefix cannot cross a '#')
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 _TRACKING_PREFIXES = ("utm_",)
 _TRACKING_EXACT = ("gclid", "fbclid", "msclkid", "mc_eid")

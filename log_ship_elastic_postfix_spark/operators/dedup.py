@@ -333,19 +333,30 @@ def jaccard_pairs(
 
     Either way the shingle frame is persisted so the shingle UDF runs
     ONCE per verify, not once per join side (both join builds would
-    otherwise recompute it — it is the verify stage's entire cost)."""
+    otherwise recompute it — it is the verify stage's entire cost).
+    The verified pairs are eagerly ``localCheckpoint``-ed so the
+    persist is released before returning (pairs are two longs + a
+    double per row; the shingle cache must not outlive the verify —
+    repeated calls in clean_corpus/bench/streaming would otherwise
+    accumulate cached storage for the driver's lifetime)."""
     sh = df.select(F.col(id_col),
                    shingles(F.col(text_col), n_shingle).alias("sh")).persist()
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    if broadcast_shingles:
-        a, b = F.broadcast(a), F.broadcast(b)
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    try:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        if broadcast_shingles:
+            a, b = F.broadcast(a), F.broadcast(b)
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        jac = F.when(union > 0,
+                     inter.cast("double") / union).otherwise(F.lit(0.0))
+        verified = (joined
+                    .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+                    .filter(F.col("jaccard") >= threshold))
+        return verified.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def near_duplicates_minhash(
@@ -412,16 +423,24 @@ def simhash_near_duplicates(
         df, text_col=text_col, id_col=id_col, n_shingle=n_shingle,
         n_tables=n_tables, max_bucket_size=max_bucket_size)
     # persisted: both join sides below otherwise recompute the simhash
-    # UDF (the verify stage's whole cost, twice)
+    # UDF (the verify stage's whole cost, twice); released via an eager
+    # checkpoint of the verified pairs — same no-leak contract as
+    # jaccard_pairs (hamming pairs are three longs per row)
     sh = df.select(F.col(id_col),
                    simhash64(F.col(text_col), n_shingle).alias("simhash")) \
         .persist()
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.join(a, "id_a").join(b, "id_b")
-            .select("id_a", "id_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    try:
+        a = sh.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sh_b"))
+        ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        verified = (cand.join(a, "id_a").join(b, "id_b")
+                    .select("id_a", "id_b", ham.alias("hamming"))
+                    .filter(F.col("hamming") <= max_hamming))
+        return verified.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def _bidir(edges: DataFrame) -> DataFrame:

@@ -42,6 +42,30 @@ def route_docs(
     )
 
 
+def pin_committed_routing(routed: DataFrame,
+                          committed: DataFrame) -> DataFrame:
+    """Reference parity (/root/reference/lib/logship.js:298): a doc
+    matched in committed state updates IN PLACE — its ``sink`` and
+    ``route_date`` stay the committed values even when this batch's
+    enrichment would route it elsewhere (the orphan→parent flip when
+    the parent map gains an entry between batches). The pin keeps every
+    qid in exactly one (sink, route_date) partition for its lifetime;
+    without it a sink flip is a partition migration the storage layer
+    must clean up (``StateStore.upsert`` handles that too, defensively,
+    but the pin makes it unreachable in the normal flow). Broadcast
+    join: the pin frame is batch-bounded metadata (qid + two short
+    strings per matched doc)."""
+    pins = (committed.select("qid", F.col("sink").alias("_pin_sink"),
+                             F.col("route_date").alias("_pin_rd"))
+            .dropDuplicates(["qid"]))
+    cols = routed.columns
+    return (routed.join(F.broadcast(pins), "qid", "left")
+            .withColumn("sink", F.coalesce("_pin_sink", F.col("sink")))
+            .withColumn("route_date",
+                        F.coalesce("_pin_rd", F.col("route_date")))
+            .select(*cols))
+
+
 def write_routed(routed: DataFrame, path: str, mode: str = "append",
                  typed: bool = True) -> None:
     """Fan-out partitioned write. ``qid`` stays as a column (the _id

@@ -80,26 +80,44 @@ class StateStore:
         batch; at 10⁴ batches/day the read-side file count (and footer
         metadata) dominates lookup latency. Compaction rewrites each
         partition to one file per partition key: one shuffle keyed on
-        the partition columns, content-identical output, dynamic
-        overwrite scoped to the partitions read. Returns True iff a
-        rewrite happened. Run out-of-band (the upsert path never needs
-        it for correctness — pinned by the replay tests)."""
+        the partition columns, content-identical output. Returns True
+        iff a rewrite happened. Run out-of-band (the upsert path never
+        needs it for correctness — pinned by the replay tests).
+
+        Implementation: write the compacted layout to a temporary
+        sibling directory, then swap it in with two FileSystem renames
+        (old→trash, tmp→live) and delete the old files last. Unlike a
+        ``localCheckpoint`` of the whole table into executor block
+        storage, this streams executor-memory-bounded partitions and
+        never holds total state size in block-manager memory/disk —
+        the incremental-rewrite property Iceberg's OPTIMIZE has. The
+        swap window is two metadata renames; a reader racing them
+        retries (the reference's per-batch ES reads have the same
+        read-during-bulk-write window)."""
         state = self.read(spark)
         if state is None:
             return False
-        compacted = state.repartition("sink", "route_date") \
-            .localCheckpoint(eager=True)  # materialize BEFORE the
-        # overwrite: the write would otherwise read the very files it
-        # is replacing
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(conf_key, "static")
-        spark.conf.set(conf_key, "dynamic")
-        try:
-            (compacted.write.mode("overwrite")
-             .partitionBy("sink", "route_date")
-             .parquet(self.path))
-        finally:
-            spark.conf.set(conf_key, prev)
+        base = self.path.rstrip("/")
+        tmp, trash = base + "__compact_tmp", base + "__compact_old"
+        (state.repartition("sink", "route_date")
+         .write.mode("overwrite")
+         .partitionBy("sink", "route_date")
+         .parquet(tmp))
+        sc = spark.sparkContext
+        jvm = sc._jvm  # type: ignore[attr-defined]
+        conf = sc._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        hpath = jvm.org.apache.hadoop.fs.Path(base)
+        fs = hpath.getFileSystem(conf)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        p_trash = jvm.org.apache.hadoop.fs.Path(trash)
+        fs.delete(p_trash, True)  # stale trash from a crashed run
+        if not fs.rename(hpath, p_trash):
+            fs.delete(p_tmp, True)
+            raise IOError(f"compact: could not move {base} aside")
+        if not fs.rename(p_tmp, hpath):
+            fs.rename(p_trash, hpath)  # roll back — old data intact
+            raise IOError(f"compact: could not swap {tmp} into {base}")
+        fs.delete(p_trash, True)
         return True
 
     def read(self, spark: SparkSession) -> Optional[DataFrame]:
@@ -166,8 +184,28 @@ class StateStore:
         False and writes nothing (idempotent replay). The extra cost is
         one hash-only anti-join over the touched partitions — id+hash
         longs plus the partition keys, never doc bodies.
+
+        Partition migration (qid committed under one (sink, route_date)
+        arriving under another — e.g. an orphan→parent sink flip when
+        the parent map gains an entry between batches): the committed-
+        side partitions of changed qids are added to the rewrite set,
+        so the stale committed row is dropped from its OLD partition in
+        the same write (without this the old partition kept a duplicate
+        row per migrated qid). A partition whose every row migrated
+        away would write zero rows — dynamic overwrite cannot express
+        an empty partition, so those are deleted explicitly after the
+        write. NOTE the pipeline additionally *pins* committed docs to
+        their committed (sink, route_date) exactly like the reference
+        pins matched docs to their found ES index
+        (/root/reference/lib/logship.js:298), so migrations never reach
+        this path in the normal flow; this handling keeps direct upsert
+        callers correct too. Migrations across route_dates OUTSIDE the
+        batch's date spread are invisible by design — the same scoping
+        the reference's uniqYMD index list imposes on its ES search.
         """
         state = self.read(spark)
+        emptied_parts: list[str] = []
+        migrated_only: set[str] = set()
         if state is not None:
             touched = [r["route_date"] for r in
                        incoming.select("route_date").distinct().collect()]
@@ -179,20 +217,39 @@ class StateStore:
                     pkey.alias("_p"), "qid",
                     self._doc_hash(incoming).alias("_h"))
                 st_keyed = scoped.select(
-                    "qid", self._doc_hash(scoped).alias("_h"))
+                    pkey.alias("_p"), "qid",
+                    self._doc_hash(scoped).alias("_h"))
                 # changed-or-new docs: no committed row with same hash
-                changed_parts = [
-                    r["_p"] for r in
-                    inc_keyed.join(st_keyed, ["qid", "_h"], "left_anti")
-                    .select("_p").distinct().collect()]
+                changed = inc_keyed.join(
+                    st_keyed.select("qid", "_h"), ["qid", "_h"],
+                    "left_anti").localCheckpoint(eager=True)
+                inc_parts = {r["_p"] for r in
+                             changed.select("_p").distinct().collect()}
+                # ...plus the OLD partitions of those qids (migration)
+                old_side = st_keyed.join(
+                    changed.select("qid").distinct(), "qid", "inner")
+                old_parts = {r["_p"] for r in
+                             old_side.select("_p").distinct().collect()}
+                changed_parts = sorted(inc_parts | old_parts)
                 if not changed_parts:
                     return False
                 # bounded metadata: batch day-spread × sinks entries
                 incoming = incoming.filter(pkey.isin(changed_parts))
                 scoped = scoped.filter(pkey.isin(changed_parts))
+                migrated_only = old_parts - inc_parts
             carry = scoped.join(incoming.select("qid").distinct(), "qid",
                                 "left_anti")
             incoming = incoming.unionByName(carry)
+            if detect_noop and migrated_only:
+                # a migration left old partitions with possibly zero
+                # surviving rows — dynamic overwrite cannot express an
+                # empty partition, so find and delete those explicitly.
+                # Runs ONLY when a migration was detected (the common
+                # no-migration batch pays no extra action).
+                out_parts = {r["_p"] for r in
+                             incoming.select(pkey.alias("_p"))
+                             .distinct().collect()}
+                emptied_parts = sorted(migrated_only - out_parts)
         conf_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(conf_key, "static")
         spark.conf.set(conf_key, "dynamic")
@@ -202,6 +259,16 @@ class StateStore:
              .parquet(self.path))
         finally:
             spark.conf.set(conf_key, prev)
+        if emptied_parts:
+            sc = spark.sparkContext
+            jvm = sc._jvm  # type: ignore[attr-defined]
+            conf = sc._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+            for p in emptied_parts:
+                sink, rd = p.split("\x00", 1)
+                part_dir = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path.rstrip('/')}/sink={sink}/route_date={rd}")
+                fs = part_dir.getFileSystem(conf)
+                fs.delete(part_dir, True)
         return True
 
 

@@ -144,6 +144,10 @@ def run_batch(
         docs = enrich.with_parent(docs, parent_map)
         routed = route.route_docs(
             docs, orphan_sink=cfg.orphan_sink, parent_sink=cfg.parent_sink)
+        if state_docs is not None:
+            # reference parity: matched docs update in place at their
+            # committed index (lib/logship.js:298) — pin sink/route_date
+            routed = route.pin_committed_routing(routed, state_docs)
 
         manifest: Optional[dict] = None
         if state is not None:

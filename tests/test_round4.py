@@ -1,0 +1,206 @@
+"""Round-4 regression tests: the ADVICE findings (URL fragment-query
+leak, persist leaks, compact swap, partition-migration stranding) and
+the reference-parity committed-routing pin."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_ship_elastic_postfix_spark import datagen
+from log_ship_elastic_postfix_spark.functions import urls
+from log_ship_elastic_postfix_spark.operators.state import StateStore
+from log_ship_elastic_postfix_spark.plans.pipeline import (
+    PipelineConfig, run_batch)
+from log_ship_elastic_postfix_spark.sources.pages import (
+    pages_to_lines, with_batch_seq)
+
+CFG = PipelineConfig()
+
+
+def _b36(n: int) -> str:
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    if n == 0:
+        return "0"
+    out = ""
+    while n:
+        out = digits[n % 36] + out
+        n //= 36
+    return out
+
+
+# --------------------------------------- urls: fragment-query leak
+def test_url_fragment_query_not_leaked(spark):
+    """A '?' INSIDE the fragment is fragment content: rule 3 drops it
+    wholesale, never re-attaches it as a query (ADVICE finding)."""
+    cases = {
+        "http://h.com/p#f?x=1": "http://h.com/p",
+        "http://h.com/p?a=1#f?x=2": "http://h.com/p?a=1",
+        "https://h.com/#?utm_source=x": "https://h.com/",
+        "http://h.com/p?utm_source=x#f?keep=1": "http://h.com/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"] for r in df.select(
+        "url", urls.canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == cases
+    # idempotence holds on the fixed cases too
+    df2 = spark.createDataFrame([(v,) for v in cases.values()],
+                                "url string")
+    got2 = {r["url"]: r["c"] for r in df2.select(
+        "url", urls.canonical_url(F.col("url")).alias("c")).collect()}
+    assert got2 == {v: v for v in cases.values()}
+
+
+# ------------------------------- state: partition-migration handling
+def test_upsert_migration_cleans_old_partition(spark, tmp_path):
+    """A qid committed under (orphan, D) arriving under (parent, D)
+    must leave exactly ONE committed row: the old partition is part of
+    the rewrite set and drops the stale row, carry rows survive."""
+    store = StateStore(str(tmp_path / "state"))
+    cols = ["qid", "sink", "route_date", "payload"]
+    rows1 = [("q1", "postfix-orphan", "2024-07-01", "v1"),
+             ("q2", "postfix-orphan", "2024-07-01", "v1")]
+    assert store.upsert(spark, spark.createDataFrame(rows1, cols))
+
+    rows2 = [("q1", "postfix-parent", "2024-07-01", "v2")]
+    assert store.upsert(spark, spark.createDataFrame(rows2, cols))
+
+    got = {(r["qid"], r["sink"], r["payload"])
+           for r in store.read(spark).collect()}
+    assert got == {("q1", "postfix-parent", "v2"),
+                   ("q2", "postfix-orphan", "v1")}
+    keys = spark.createDataFrame([("q1",)], "qid string")
+    looked = store.lookup(spark, keys, dates=["2024-07-01"]).collect()
+    assert len(looked) == 1 and looked[0]["sink"] == "postfix-parent"
+
+
+def test_upsert_migration_deletes_emptied_partition(spark, tmp_path):
+    """When ALL rows of the old partition migrate away, dynamic
+    overwrite cannot express the now-empty partition — upsert must
+    delete the directory explicitly."""
+    store = StateStore(str(tmp_path / "state"))
+    cols = ["qid", "sink", "route_date", "payload"]
+    assert store.upsert(spark, spark.createDataFrame(
+        [("q1", "postfix-orphan", "2024-07-01", "v1")], cols))
+    old_dir = str(tmp_path / "state" /
+                  "sink=postfix-orphan" / "route_date=2024-07-01")
+    assert os.path.isdir(old_dir)
+
+    assert store.upsert(spark, spark.createDataFrame(
+        [("q1", "postfix-parent", "2024-07-01", "v2")], cols))
+    assert not os.path.isdir(old_dir), "emptied partition must be deleted"
+    got = [(r["qid"], r["sink"], r["payload"])
+           for r in store.read(spark).collect()]
+    assert got == [("q1", "postfix-parent", "v2")]
+
+
+def test_upsert_same_partition_update_unchanged_behavior(spark, tmp_path):
+    """Non-migration updates keep the round-3 behavior: only the
+    changed partition rewrites, unchanged partitions keep files."""
+    import time
+    store = StateStore(str(tmp_path / "state"))
+    cols = ["qid", "sink", "route_date", "payload"]
+    rows1 = [("q1", "postfix-orphan", "2024-07-01", "v1"),
+             ("q2", "postfix-orphan", "2024-07-02", "v1")]
+    assert store.upsert(spark, spark.createDataFrame(rows1, cols))
+    b_dir = str(tmp_path / "state" /
+                "sink=postfix-orphan" / "route_date=2024-07-02")
+    before = {p: os.path.getmtime(p) for p in glob.glob(f"{b_dir}/*")}
+    time.sleep(1.1)
+    rows2 = [("q1", "postfix-orphan", "2024-07-01", "v2"),
+             ("q2", "postfix-orphan", "2024-07-02", "v1")]
+    assert store.upsert(spark, spark.createDataFrame(rows2, cols))
+    after = {p: os.path.getmtime(p) for p in glob.glob(f"{b_dir}/*")}
+    assert after == before
+
+
+# --------------------------------- pipeline: committed-routing pin
+def test_pipeline_pins_committed_sink(spark, tmp_path):
+    """Reference lib/logship.js:298: a doc matched in committed state
+    updates at its committed index. A parent-map entry appearing
+    between batches must NOT migrate the doc to the parent sink — and
+    the state table ends with exactly one row per qid."""
+    pages = datagen.generate_pages(spark, 10, n_partitions=2)
+    lines = pages_to_lines(pages)
+    l1 = lines.filter(F.col("line_no") % 2 == 0)
+    l2 = lines.filter(F.col("line_no") % 2 == 1)
+    store = StateStore(str(tmp_path / "state"))
+    run_batch(spark, l1, CFG, batch_seq=0, state=store)
+
+    parent_map = spark.createDataFrame(
+        [("3" + _b36(u) + "zXy", f"parent-{u}") for u in range(10)],
+        "qid string, parent string")
+    run_batch(spark, l2, CFG, batch_seq=1, state=store,
+              parent_map=parent_map)
+
+    committed = store.read(spark).select("qid", "sink").collect()
+    assert len(committed) == 10                       # one row per qid
+    assert {r["sink"] for r in committed} == {"postfix-orphan"}
+
+    # a FRESH qid (no committed doc) still routes by enrichment: run
+    # the same corpus without state and the parent sink is used
+    res = run_batch(spark, lines, CFG, parent_map=parent_map)
+    sinks = {r["sink"] for r in res.routed.select("sink").collect()}
+    assert sinks == {"postfix-parent"}
+
+
+# ------------------------------------------- compact: swap semantics
+def test_compact_uses_sibling_swap(spark, tmp_path):
+    """compact() must not leave tmp/trash siblings behind and must
+    keep content identical (the OOM-prone full-table localCheckpoint
+    is gone — ADVICE finding)."""
+    store = StateStore(str(tmp_path / "state"))
+    cols = ["qid", "sink", "route_date", "payload"]
+    for i in range(3):
+        rows = [(f"q{i}_{j}", "postfix-orphan", "2024-07-01", f"v{i}")
+                for j in range(4)]
+        store.upsert(spark, spark.createDataFrame(rows, cols))
+    before = {tuple(r) for r in store.read(spark).collect()}
+    assert store.compact(spark)
+    after = {tuple(r) for r in store.read(spark).collect()}
+    assert after == before
+    assert not os.path.exists(str(tmp_path / "state__compact_tmp"))
+    assert not os.path.exists(str(tmp_path / "state__compact_old"))
+    part = str(tmp_path / "state/sink=postfix-orphan/route_date=2024-07-01")
+    assert len(glob.glob(f"{part}/*.parquet")) == 1
+
+
+# ----------------------------------- dedup: no persisted-frame leaks
+def test_verify_paths_unpersist(spark, monkeypatch):
+    """jaccard_pairs / simhash_near_duplicates must not leak cached
+    shingle/simhash frames (ADVICE finding): every DataFrame.persist()
+    made inside the verify paths is matched by an unpersist() before
+    the call returns."""
+    from pyspark.sql import DataFrame as DF
+    from log_ship_elastic_postfix_spark.operators import dedup
+
+    live: list = []
+    orig_p, orig_u = DF.persist, DF.unpersist
+
+    def track_p(self, *a, **k):
+        live.append(self._jdf)
+        return orig_p(self, *a, **k)
+
+    def track_u(self, *a, **k):
+        for i, j in enumerate(live):
+            if j.equals(self._jdf):
+                live.pop(i)
+                break
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(DF, "persist", track_p)
+    monkeypatch.setattr(DF, "unpersist", track_u)
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog number %d" % i)
+         for i in range(40)], "doc_id long, text string")
+
+    dedup.near_duplicates_minhash(docs, threshold=0.5,
+                                  broadcast_shingles=True).count()
+    assert not live, "minhash verify leaked a persisted frame"
+
+    dedup.simhash_near_duplicates(docs).count()
+    assert not live, "simhash verify leaked a persisted frame"
