@@ -457,16 +457,22 @@ def q_ann_cosine_lsh(spark, sf_dir):
 
 def q_media_metadata(spark, sf_dir):
     """Multimodal plumbing, oracle-checked on its engine-agnostic
-    slice: binary payload column → Arrow mapInPandas → typed metadata.
-    The payload is the document text encoded to bytes (the container
-    has no image corpus); byte counts are engine-checkable, the
-    stub-decoded dims/checksum are pytest-covered
+    slice: binary payload column → Arrow mapInPandas → typed metadata
+    with magic-byte media-type sniffing. Payloads are the document
+    text encoded to bytes, with a planted PNG signature on every
+    doc_id%10==0 row — the oracle states type and byte count in closed
+    form (PNG magic is 8 bytes), so the sniffer is genuinely
+    discriminating. Stub-decoded dims/checksum are pytest-covered
     (tests/test_multimodal.py)."""
     from log_ship_elastic_postfix_spark.operators import multimodal
 
+    png_magic = F.lit(b"\x89PNG\r\n\x1a\n")
+    text_bytes = F.encode("text", "utf-8")
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"),
-        F.encode("text", "utf-8").alias("payload"))
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(png_magic, text_bytes))
+        .otherwise(text_bytes).alias("payload"))
     meta = multimodal.extract_media_metadata(d, payload_col="payload")
     return meta.select(F.col("url").cast("long").alias("doc_id"),
                        "media_type", "n_bytes")
@@ -961,9 +967,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_lsh": _ANN_BRUTE_SQL,
         "ann_topk_ivf": _ANN_BRUTE_SQL,
+        # sniffing rule restated in closed form: planted PNG rows
+        # classify by the 8-byte magic; everything else is the text
+        # heuristic (leading '<' after whitespace = html, else plain)
         "media_metadata": (
-            "select doc_id, 'text/html' as media_type, "
-            "octet_length(encode(text))::bigint as n_bytes from documents"
+            "select doc_id, "
+            "case when doc_id % 10 = 0 then 'image/png' "
+            " when regexp_matches(text, '^[ \\t\\r\\n\\x0b\\x0c]*<') "
+            " then 'text/html' else 'text/plain' end as media_type, "
+            "(octet_length(encode(text)) + case when doc_id % 10 = 0 "
+            "then 8 else 0 end)::bigint as n_bytes from documents"
         ),
         "typed_sink_projection": (
             "select event_id, "

@@ -168,6 +168,75 @@ def test_compact_uses_sibling_swap(spark, tmp_path):
     assert len(glob.glob(f"{part}/*.parquet")) == 1
 
 
+# ------------------------------- multimodal: sniffing + cached probe
+def test_sniff_media_type_signatures():
+    from log_ship_elastic_postfix_spark.operators import multimodal as mm
+
+    assert mm.sniff_media_type(b"\x89PNG\r\n\x1a\nrest") == "image/png"
+    assert mm.sniff_media_type(b"\xff\xd8\xff\xe0JFIF") == "image/jpeg"
+    assert mm.sniff_media_type(b"GIF89a....") == "image/gif"
+    assert mm.sniff_media_type(b"%PDF-1.7") == "application/pdf"
+    assert mm.sniff_media_type(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image/webp"
+    assert mm.sniff_media_type(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "audio/wav"
+    assert mm.sniff_media_type(b"  \n\t<html><body>") == "text/html"
+    assert mm.sniff_media_type(b"plain words here") == "text/plain"
+    assert mm.sniff_media_type(b"bin\x00ary") == "application/octet-stream"
+
+
+def test_media_metadata_sniffs_types(spark):
+    """End-to-end through the mapInPandas stage: a planted PNG header
+    classifies image/png; html-ish and plain payloads split."""
+    from log_ship_elastic_postfix_spark.operators import multimodal as mm
+
+    rows = [("a", b"\x89PNG\r\n\x1a\n" + b"x" * 16),
+            ("b", b"<html><p>hi</p></html>"),
+            ("c", b"just some words")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["media_type"], r["n_bytes"])
+           for r in mm.extract_media_metadata(df).collect()}
+    assert got == {"a": ("image/png", 24),
+                   "b": ("text/html", 22),
+                   "c": ("text/plain", 15)}
+
+
+def test_try_pil_probe_is_cached(monkeypatch):
+    """The failed-import probe must run once per process, not once per
+    row (the round-3 measured 2× media_metadata regression); and a
+    monkeypatched _try_pil still drives both decode paths."""
+    from log_ship_elastic_postfix_spark.operators import multimodal as mm
+
+    mm._try_pil.cache_clear()
+    mm._try_pil()
+    for _ in range(10):
+        mm._decode_image(b"payload-bytes")
+    info = mm._try_pil.cache_info()
+    assert info.misses == 1 and info.hits >= 10
+
+    # monkeypatch bypasses the cache entirely: stub path
+    monkeypatch.setattr(mm, "_try_pil", lambda: None)
+    w, h = mm._decode_image(b"payload-bytes")
+    assert (w, h) == mm._decode_image_stub(b"payload-bytes")
+
+    # ...and the PIL path (fake Image object)
+    class FakeIm:
+        width, height = 11, 7
+        format = "PNG"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImage:
+        @staticmethod
+        def open(buf):
+            return FakeIm()
+
+    monkeypatch.setattr(mm, "_try_pil", lambda: FakeImage)
+    assert mm._decode_image(b"anything") == (11, 7)
+
+
 # ----------------------------------- dedup: no persisted-frame leaks
 def test_verify_paths_unpersist(spark, monkeypatch):
     """jaccard_pairs / simhash_near_duplicates must not leak cached
