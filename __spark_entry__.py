@@ -632,8 +632,18 @@ def q_gopher_quality(spark, sf_dir):
     (functions.textstats.gopher_quality_flags): per-doc named rule
     booleans + the pass conjunction, each independently
     SQL-reproducible. min_words lowered to 10 for this short-doc
-    corpus so the word-count rule actually discriminates."""
-    d = _t(spark, sf_dir, "documents")
+    corpus so the word-count rule actually discriminates. The corpus
+    is derived MULTI-LINE (every doc gains bullet lines: 19 on
+    doc_id%9==0 → ratio 0.95 fails bullet_ok, 1 otherwise → 0.5
+    passes) so the per-line bullet rule is genuinely evaluated over
+    lines, not degenerate on a single-line corpus — every rule is
+    recomputed generically from the derived text on both engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.col("text"), F.lit("\n- item" * 19)))
+        .otherwise(F.concat(F.col("text"), F.lit("\n- one bullet")))
+        .alias("text"))
     flags = textstats.gopher_quality_flags(F.col("text"), min_words=10)
     return (d.select("doc_id", flags.alias("g"))
             .select("doc_id", "g.word_count_ok", "g.word_len_ok",
@@ -643,12 +653,21 @@ def q_gopher_quality(spark, sf_dir):
 
 
 def q_repetition_stats(spark, sf_dir):
-    """Gopher repetition half (textstats.repetition_stats): duplicate-
-    line fractions (0 on this single-line corpus — the closed-form
-    part) and top-2/3-gram character fractions (discriminating: the
-    synthetic texts repeat words). Tie-break: (count desc, gram desc),
-    mirrored exactly in the DuckDB oracle."""
-    d = _t(spark, sf_dir, "documents")
+    """Gopher repetition half (textstats.repetition_stats) over a
+    derived MULTI-LINE corpus: doc_id%3==0 docs append the same line
+    twice (dup_line_frac 2/3, char frac 10/len — the planted closed
+    form), others append one unique tail line (fractions 0) — so the
+    duplicate-line halves are discriminating under the hash gate, not
+    hardcoded zeros. Top-2/3-gram fractions recompute generically from
+    the derived text; tie-break (count desc, gram desc) mirrored
+    exactly in the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit("\nDup A\nDup A")))
+        .otherwise(F.concat(F.col("text"), F.lit("\nTail "),
+                            F.col("doc_id").cast("string")))
+        .alias("text"))
     r = textstats.repetition_stats(F.col("text"))
     return (d.select("doc_id", r.alias("r"))
             .select("doc_id", "r.dup_line_frac", "r.dup_line_char_frac",
@@ -1061,20 +1080,28 @@ def oracle_sql() -> dict[str, str]:
             "count(distinct doc_id)::bigint as n_docs from t "
             "group by token order by n_occurrences desc, token asc limit 40"
         ),
+        # derived multi-line corpus (bullet lines appended) so the
+        # bullet rule is a REAL per-line ratio on both engines, not a
+        # one-line regex degenerate
         "gopher_quality": (
-            "with t as (select doc_id, text, "
+            "with d as (select doc_id, case when doc_id % 9 = 0 "
+            "then text || repeat(chr(10) || '- item', 19) "
+            "else text || chr(10) || '- one bullet' end as text "
+            "from documents), "
+            "t as (select doc_id, text, "
             "case when trim(text) = '' then 0 else "
             "len(string_split_regex(trim(text), '\\s+')) end as n, "
             "string_split_regex(trim(lower(text)), '\\s+') as toks, "
-            "string_split_regex(trim(text), '\\s+') as rawtoks "
-            "from documents), "
+            "string_split_regex(trim(text), '\\s+') as rawtoks, "
+            "string_split(text, chr(10)) as lines from d), "
             "m as (select *, case when n > 0 then "
             "list_aggregate(list_transform(rawtoks, x -> length(x)), "
             "'sum')::double / n else 0.0 end as wl, "
             "case when n > 0 then length(regexp_replace(text, "
             "'[^#\u2026]', '', 'g'))::double / n else 0.0 end as symr, "
-            "case when regexp_matches(trim(text), '^[-*\u2022]') "
-            "then 1.0 else 0.0 end as bulr, "
+            "case when len(lines) > 0 then "
+            "len(list_filter(lines, x -> regexp_matches(trim(x), "
+            "'^[-*\u2022]')))::double / len(lines) else 0.0 end as bulr, "
             "len(list_intersect(list_distinct(toks), "
             f"[{_STOPS}])) as nstops from t) "
             "select doc_id, n between 10 and 100000 as word_count_ok, "
@@ -1085,10 +1112,18 @@ def oracle_sql() -> dict[str, str]:
             "and symr <= 0.1 and bulr <= 0.9 and nstops >= 2 as passes "
             "from m order by doc_id"
         ),
+        # derived multi-line corpus: doc_id%3==0 plants the same line
+        # twice → dup fractions in closed form (the single-line base
+        # corpus is dup-free, so the planted lines are the ONLY dups);
+        # n-gram fractions recompute generically from the derived text
         "repetition_stats": (
-            "with t as (select doc_id, text, length(text) as total, "
+            "with d as (select doc_id, case when doc_id % 3 = 0 "
+            "then text || chr(10) || 'Dup A' || chr(10) || 'Dup A' "
+            "else text || chr(10) || 'Tail ' || doc_id end as text "
+            "from documents), "
+            "t as (select doc_id, text, length(text) as total, "
             "list_filter(string_split_regex(lower(text), '\\s+'), "
-            "x -> x != '') as toks from documents), "
+            "x -> x != '') as toks from d), "
             "g as (select doc_id, total, n, unnest(list_transform("
             "range(greatest(len(toks) - n + 1, 0)), i -> case when n = 2 "
             "then toks[i+1] || ' ' || toks[i+2] else "
@@ -1100,8 +1135,11 @@ def oracle_sql() -> dict[str, str]:
             "(length(gram) * cnt * 1000000 // total) / 1000000.0 "
             "as frac, row_number() over (partition by doc_id, n "
             "order by cnt desc, gram desc) as rk from c) "
-            "select t.doc_id, 0.0 as dup_line_frac, "
-            "0.0 as dup_line_char_frac, "
+            "select t.doc_id, "
+            "case when t.doc_id % 3 = 0 then 2.0/3.0 else 0.0 end "
+            "as dup_line_frac, "
+            "case when t.doc_id % 3 = 0 then 10.0/t.total else 0.0 end "
+            "as dup_line_char_frac, "
             "coalesce(b.frac, 0.0) as top_bigram_char_frac, "
             "coalesce(tri.frac, 0.0) as top_trigram_char_frac "
             "from t left join (select * from top where n = 2 and rk = 1) b "

@@ -168,6 +168,26 @@ def test_compact_uses_sibling_swap(spark, tmp_path):
     assert len(glob.glob(f"{part}/*.parquet")) == 1
 
 
+# ---------------- driver multi-line corpora actually discriminate
+def test_driver_multiline_rules_discriminate(spark):
+    """The round-3 gap: dup-line fractions and the bullet rule were
+    closed-form constants on the single-line sf corpus. The derived
+    multi-line corpora must produce BOTH outcomes for each."""
+    import __spark_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("testdata missing")
+
+    rep = entry.queries()["repetition_stats"](spark, sf).collect()
+    fracs = {r["dup_line_frac"] for r in rep}
+    assert 0.0 in fracs and 2.0 / 3.0 in fracs
+    assert any(r["dup_line_char_frac"] > 0 for r in rep)
+
+    gq = entry.queries()["gopher_quality"](spark, sf).collect()
+    bullets = {r["bullet_ok"] for r in gq}
+    assert bullets == {True, False}
+
+
 # ------------------------------- multimodal: sniffing + cached probe
 def test_sniff_media_type_signatures():
     from log_ship_elastic_postfix_spark.operators import multimodal as mm
