@@ -45,6 +45,14 @@ class CorpusCleanConfig:
     # or whose duplicate-line char fraction exceeds it
     repetition_max_frac: Optional[float] = None
     broadcast_shingles: bool = False          # small-corpus fast path
+    # per-stage drop accounting (the corpus-paper stage_counts table).
+    # True: every stage is eagerly checkpointed AND counted — one
+    # count action per stage, bounded driver metadata. False: no count
+    # actions at all; only shuffle-boundary stages checkpoint (so a
+    # later stage never re-runs an earlier shuffle) while narrow
+    # filter stages (quality, repetition) stay lazy — re-executing
+    # them is one projection over the prior checkpoint
+    collect_counts: bool = True
 
 
 @dataclass
@@ -57,12 +65,20 @@ def clean_corpus(df: DataFrame, cfg: CorpusCleanConfig) -> CleanResult:
     id_c, text_c = cfg.id_col, cfg.text_col
     counts: dict = {}
 
-    def _ckpt(frame: DataFrame, stage: str) -> DataFrame:
-        frame = frame.localCheckpoint(eager=True)
-        counts[stage] = frame.count()
+    def _ckpt(frame: DataFrame, stage: str, *,
+              narrow: bool = False) -> DataFrame:
+        if cfg.collect_counts:
+            frame = frame.localCheckpoint(eager=True)
+            counts[stage] = frame.count()
+        elif not narrow:
+            # shuffle boundary: checkpoint (no count) so later stages
+            # never re-run this stage's exchange
+            frame = frame.localCheckpoint(eager=True)
         return frame
 
-    cur = _ckpt(df, "input")
+    # input is a plain source read — checkpointing it buys nothing
+    # beyond the count, so it is "narrow" for accounting purposes
+    cur = _ckpt(df, "input", narrow=True)
 
     if cfg.url_col:
         kept = dedup_by_canonical_url(cur, url_col=cfg.url_col)
@@ -98,12 +114,12 @@ def clean_corpus(df: DataFrame, cfg: CorpusCleanConfig) -> CleanResult:
     if cfg.quality_min_words is not None:
         flags = textstats.gopher_quality_flags(
             F.col(text_c), min_words=cfg.quality_min_words)
-        cur = _ckpt(cur.filter(flags["passes"]), "quality")
+        cur = _ckpt(cur.filter(flags["passes"]), "quality", narrow=True)
 
     if cfg.repetition_max_frac is not None:
         rep = textstats.repetition_stats(F.col(text_c))
         keep = ((rep["top_bigram_char_frac"] <= cfg.repetition_max_frac)
                 & (rep["dup_line_char_frac"] <= cfg.repetition_max_frac))
-        cur = _ckpt(cur.filter(keep), "repetition")
+        cur = _ckpt(cur.filter(keep), "repetition", narrow=True)
 
     return CleanResult(docs=cur, stage_counts=counts)

@@ -95,6 +95,36 @@ def main() -> None:
     ld.write.format("noop").mode("overwrite").save()
     line_sec = time.monotonic() - t0
 
+    # composed clean_corpus at the SCALE config (shuffle-join verify,
+    # star-CC — broadcast_shingles stays False): the planted structure
+    # has a closed form, so the run doubles as a correctness proof of
+    # the composition at 20-100× driver scale: exact removes the 1-in-
+    # 32 verbatim copies, near-dup CC removes the 1-in-16 mutants
+    # (each clusters with its base; keeper = min id). Quality is off:
+    # the word-salad corpus has no stopwords by construction.
+    # LSH config is recall-sized to the plant: mutants sit at jaccard
+    # ≈0.73 (9 of 67 shingles differ), where the default 8×4-row bands
+    # miss 1−(1−0.73⁴)⁸ ≈ 6.7% of pairs (measured: 418/6250). 32 bands
+    # of 2 rows drive the miss probability to (1−0.73²)³² ≈ 2·10⁻¹¹
+    # while random pairs (jaccard ≈10⁻⁴) still collide band-wise with
+    # probability ≤32·10⁻⁸ — exactly the s-curve tuning a production
+    # pipeline does against its target threshold.
+    from log_ship_elastic_postfix_spark.plans.corpus import (
+        CorpusCleanConfig, clean_corpus)
+
+    t0 = time.monotonic()
+    res = clean_corpus(corpus, CorpusCleanConfig(
+        neardup_threshold=0.6, quality_min_words=None,
+        minhash_k=64, minhash_bands=32,
+        broadcast_shingles=False))
+    clean_sec = time.monotonic() - t0
+    exp = {"input": n, "exact_dedup": n - n // 32,
+           "neardup": n - n // 32 - n // 16}
+    got = {k: res.stage_counts.get(k) for k in exp}
+    if got != exp:
+        raise AssertionError(
+            f"clean_corpus planted-structure mismatch: {got} != {exp}")
+
     print(json.dumps({
         "n_docs": n,
         "minhash_sec": round(minhash_sec, 2),
@@ -105,6 +135,9 @@ def main() -> None:
         "exact_docs_per_sec": round(n / exact_sec, 1),
         "line_dedup_sec": round(line_sec, 2),
         "line_dedup_docs_per_sec": round(n / line_sec, 1),
+        "clean_corpus_sec": round(clean_sec, 2),
+        "clean_corpus_docs_per_sec": round(n / clean_sec, 1),
+        "clean_corpus_stage_counts": res.stage_counts,
         "cpus": cpus,
     }))
     spark.stop()

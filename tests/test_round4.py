@@ -168,6 +168,77 @@ def test_compact_uses_sibling_swap(spark, tmp_path):
     assert len(glob.glob(f"{part}/*.parquet")) == 1
 
 
+# --------------------------- clean_corpus: compose-at-scale + counts
+def test_clean_corpus_scale_config_planted_counts(spark):
+    """The composed cleaning chain at the SCALE configuration
+    (shuffle-join verify, star-CC, broadcast_shingles=False) on the
+    100k-doc planted corpus: stage counts must equal the plant's
+    closed form — exact removes the 1-in-32 verbatim copies, near-dup
+    CC removes the 1-in-16 mutants. LSH is recall-sized to the plant
+    (32 bands × 2 rows; mutants sit at jaccard ≈0.73 where the default
+    8×4 bands measurably miss ~6.7%)."""
+    import scripts.dedup_bench as db
+    from log_ship_elastic_postfix_spark.plans.corpus import (
+        CorpusCleanConfig, clean_corpus)
+
+    n = 100_000
+    docs = db.synth_docs(spark, n).localCheckpoint(eager=True)
+    res = clean_corpus(docs, CorpusCleanConfig(
+        neardup_threshold=0.6, quality_min_words=None,
+        minhash_k=64, minhash_bands=32, broadcast_shingles=False))
+    assert res.stage_counts == {
+        "input": n,
+        "exact_dedup": n - n // 32,
+        "neardup": n - n // 32 - n // 16,
+    }
+
+
+def test_clean_corpus_collect_counts_off(spark, monkeypatch):
+    """collect_counts=False: zero count() actions, empty stage_counts,
+    and the SAME survivor set as the accounting mode."""
+    from log_ship_elastic_postfix_spark.plans.corpus import (
+        CorpusCleanConfig, clean_corpus)
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over the lazy dog "
+              "and then it sat down on a mat number %d" % (i % 25)))
+         for i in range(50)], "doc_id long, text string")
+    # patch the CONCRETE class (pyspark.sql.classic.…DataFrame in
+    # Spark 4 overrides count; patching the abstract base is a no-op)
+    DF = type(docs)
+    cfg = dict(neardup_threshold=0.5, quality_min_words=10,
+               broadcast_shingles=True)
+
+    n_counts = 0
+    orig_count = DF.count
+
+    def track_count(self):
+        nonlocal n_counts
+        n_counts += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(DF, "count", track_count)
+    with_counts = clean_corpus(docs, CorpusCleanConfig(**cfg))
+    n_on = n_counts
+    assert set(with_counts.stage_counts) == {
+        "input", "exact_dedup", "neardup", "quality"}
+
+    n_counts = 0
+    res = clean_corpus(docs, CorpusCleanConfig(
+        collect_counts=False, **cfg))
+    n_off = n_counts
+    monkeypatch.undo()
+
+    assert res.stage_counts == {}
+    # exactly the per-stage accounting counts are skipped (the one
+    # remaining count() is the LSH bucket-drop accounting, which is
+    # operator-internal and unconditional)
+    assert n_off == n_on - len(with_counts.stage_counts)
+
+    assert (sorted(r["doc_id"] for r in res.docs.collect())
+            == sorted(r["doc_id"] for r in with_counts.docs.collect()))
+
+
 # ---------------- driver multi-line corpora actually discriminate
 def test_driver_multiline_rules_discriminate(spark):
     """The round-3 gap: dup-line fractions and the bullet rule were
@@ -263,13 +334,22 @@ def test_verify_paths_unpersist(spark, monkeypatch):
     shingle/simhash frames (ADVICE finding): every DataFrame.persist()
     made inside the verify paths is matched by an unpersist() before
     the call returns."""
-    from pyspark.sql import DataFrame as DF
     from log_ship_elastic_postfix_spark.operators import dedup
 
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog number %d" % i)
+         for i in range(40)], "doc_id long, text string")
+    # the CONCRETE class: Spark 4's classic DataFrame overrides
+    # persist/unpersist, so patching the abstract base is a no-op
+    DF = type(docs)
+
     live: list = []
+    n_persists = 0
     orig_p, orig_u = DF.persist, DF.unpersist
 
     def track_p(self, *a, **k):
+        nonlocal n_persists
+        n_persists += 1
         live.append(self._jdf)
         return orig_p(self, *a, **k)
 
@@ -283,12 +363,9 @@ def test_verify_paths_unpersist(spark, monkeypatch):
     monkeypatch.setattr(DF, "persist", track_p)
     monkeypatch.setattr(DF, "unpersist", track_u)
 
-    docs = spark.createDataFrame(
-        [(i, "the quick brown fox jumps over the lazy dog number %d" % i)
-         for i in range(40)], "doc_id long, text string")
-
     dedup.near_duplicates_minhash(docs, threshold=0.5,
                                   broadcast_shingles=True).count()
+    assert n_persists >= 3, "tracking must observe the real persists"
     assert not live, "minhash verify leaked a persisted frame"
 
     dedup.simhash_near_duplicates(docs).count()
