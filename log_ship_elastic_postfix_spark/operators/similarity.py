@@ -207,41 +207,57 @@ def ivf_topk(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     queries: DataFrame | None = None, centroid_stride: int | None = None,
+    centroids=None, n_docs: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     bucketed by nearest centroid; each query scans only its ``n_probe``
     nearest centroid cells, exact cosine re-rank inside.
 
-    Centroids are deterministic corpus samples (every ``stride``-th
-    vector, L2-normalized) — no RNG, no k-means iterations; at
-    production scale the same operator takes trained centroids as a
-    parameter. Scale shape: the corpus shuffles ONCE keyed by cell id;
-    query fan-out is queries × n_probe ids; vectors join back by cell.
+    ``centroids`` injects TRAINED centroid vectors (any 2-D
+    array-like) — the production path: a k-means job (or a prior run)
+    owns centroid quality, this operator owns the distributed
+    probe/re-rank; cell ids are then 0..C−1. Without it, centroids are
+    deterministic corpus samples (hash-picked, L2-normalized) — no
+    RNG, no k-means iterations. ``n_docs``/``centroid_stride`` let the
+    caller size the sample without the extra df.count() job (a known
+    table row count is catalog metadata at production scale).
+
+    Scale shape: the corpus shuffles ONCE keyed by cell id; query
+    fan-out is queries × n_probe ids; vectors join back by cell.
     Recall rises with n_probe (n_probe = n_centroids ⇒ exact)."""
     from pyspark.sql.window import Window
 
-    stride = centroid_stride or max(
-        1, df.count() // n_centroids if n_centroids else 1)
-    # deterministic hash-based sample: `id % stride` assumes dense
-    # 0-based ids and selects nothing on sparse/offset id spaces;
-    # hashing is position- and density-independent, needs no global
-    # sort/window, and stays a narrow filter at corpus scale. 2×
-    # oversample then TakeOrdered(n_centroids) so short hash streaks
-    # can't under-fill; production passes trained centroids instead.
-    cents = (df.filter(
-                 F.pmod(F.xxhash64(F.col(id_col)), max(1, stride // 2)) == 0)
-             .orderBy(id_col).limit(n_centroids)
-             .select(F.col(id_col).alias("cid"),
-                     F.col(vec_col).alias("cvec")))
-    cent_rows = cents.collect()
-    if not cent_rows:  # tiny/adversarial corpus: fall back to head ids
-        cent_rows = (df.orderBy(id_col).limit(n_centroids)
-                     .select(F.col(id_col).alias("cid"),
-                             F.col(vec_col).alias("cvec")).collect())
-    assert cent_rows, "ivf_topk: empty corpus — no centroids"
-    cmat = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
-    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    if centroids is not None:
+        cmat = np.asarray(centroids, dtype=np.float64)
+        assert cmat.ndim == 2 and len(cmat), "centroids must be (C, dim)"
+        cmat = cmat / np.maximum(
+            np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+        cids = np.arange(len(cmat), dtype=np.int64)
+    else:
+        stride = centroid_stride or max(
+            1, (n_docs if n_docs is not None else df.count())
+            // n_centroids if n_centroids else 1)
+        # deterministic hash-based sample: `id % stride` assumes dense
+        # 0-based ids and selects nothing on sparse/offset id spaces;
+        # hashing is position- and density-independent, needs no global
+        # sort/window, and stays a narrow filter at corpus scale. 2×
+        # oversample then TakeOrdered(n_centroids) so short hash
+        # streaks can't under-fill.
+        cents = (df.filter(
+                     F.pmod(F.xxhash64(F.col(id_col)),
+                            max(1, stride // 2)) == 0)
+                 .orderBy(id_col).limit(n_centroids)
+                 .select(F.col(id_col).alias("cid"),
+                         F.col(vec_col).alias("cvec")))
+        cent_rows = cents.collect()
+        if not cent_rows:  # tiny/adversarial corpus: fall back to head ids
+            cent_rows = (df.orderBy(id_col).limit(n_centroids)
+                         .select(F.col(id_col).alias("cid"),
+                                 F.col(vec_col).alias("cvec")).collect())
+        assert cent_rows, "ivf_topk: empty corpus — no centroids"
+        cmat = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
 
     def _assign(n_best: int):
         @pandas_udf("array<long>")

@@ -239,6 +239,67 @@ def test_clean_corpus_collect_counts_off(spark, monkeypatch):
             == sorted(r["doc_id"] for r in with_counts.docs.collect()))
 
 
+# ------------------------------------ IVF: trained-centroid injection
+def test_ivf_trained_centroids(spark):
+    """ivf_topk accepts explicit trained centroids (the production
+    path): with axis-aligned centroids and clustered vectors, per-cell
+    probing returns the in-cluster neighbors; n_probe=C reproduces the
+    brute-force oracle exactly."""
+    import numpy as np
+    from log_ship_elastic_postfix_spark.operators import similarity
+
+    rng_free = [
+        # two tight clusters around e0 and e1 (dim 4)
+        (0, [1.0, 0.05, 0.0, 0.0]), (1, [1.0, -0.04, 0.02, 0.0]),
+        (2, [0.98, 0.0, 0.05, 0.01]),
+        (10, [0.03, 1.0, 0.0, 0.02]), (11, [-0.02, 1.0, 0.04, 0.0]),
+        (12, [0.0, 0.97, -0.03, 0.01]),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rng_free], "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    got = similarity.ivf_topk(df, k=2, n_probe=1, centroids=cents)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r["nbr_id"])
+    # 1-cell probe keeps each query inside its own cluster
+    for q in (0, 1, 2):
+        assert set(by_q[q]) <= {0, 1, 2} - {q}
+    for q in (10, 11, 12):
+        assert set(by_q[q]) <= {10, 11, 12} - {q}
+
+    # probing all cells == exact brute force
+    exact = {(r["query_id"], r["nbr_id"], r["rank"])
+             for r in similarity.brute_force_topk(df, k=2).collect()}
+    full = {(r["query_id"], r["nbr_id"], r["rank"])
+            for r in similarity.ivf_topk(df, k=2, n_probe=2,
+                                         centroids=cents).collect()}
+    assert full == exact
+
+
+def test_ivf_n_docs_skips_count(spark, monkeypatch):
+    """Passing n_docs (or centroid_stride) must not run the sizing
+    df.count() job."""
+    from log_ship_elastic_postfix_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3), 0.5]) for i in range(64)],
+        "vec_id long, embedding array<double>")
+    DF = type(df)
+    calls = []
+    orig = DF.count
+
+    def track(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DF, "count", track)
+    similarity.ivf_topk(df, k=2, n_centroids=4, n_probe=4,
+                        n_docs=64).collect()
+    assert not calls, "n_docs must replace the sizing count job"
+
+
 # ---------------- driver multi-line corpora actually discriminate
 def test_driver_multiline_rules_discriminate(spark):
     """The round-3 gap: dup-line fractions and the bullet rule were
