@@ -123,11 +123,18 @@ def no_checkpoint(monkeypatch):
     """Make localCheckpoint the identity so the full physical plan of
     the candidate stages stays inspectable (production checkpoints
     eagerly to truncate lineage, which hides the joins from the
-    final plan string)."""
+    final plan string).
+
+    Patches the CONCRETE classic DataFrame class: Spark 4's
+    ``pyspark.sql.DataFrame`` is an abstract facade whose methods the
+    classic class overrides, so patching only the base silently does
+    nothing — the round-3 version of this fixture had exactly that
+    bug, leaving the LSH gates inspecting post-checkpoint stubs."""
+    import pyspark.sql.classic.dataframe as _classic
     from pyspark.sql import DataFrame
-    monkeypatch.setattr(
-        DataFrame, "localCheckpoint",
-        lambda self, eager=True: self)
+    ident = lambda self, eager=True: self  # noqa: E731
+    monkeypatch.setattr(_classic.DataFrame, "localCheckpoint", ident)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", ident)
 
 
 @pytest.fixture(scope="module")
@@ -147,11 +154,15 @@ def vecs_df(spark):
 
 
 def _assert_lsh_plan_shape(plan: str):
+    import re
     for bad in _FORBIDDEN_JOINS:
         assert bad not in plan, f"{bad} in plan:\n{plan}"
     for ln in _exchange_lines(plan):
         for key in _PAYLOAD_KEYS:
-            assert key not in ln, f"payload column as shuffle key: {ln}"
+            # boundary-anchored: 'sh#' must not match 'content_hash#'
+            if re.search(rf"(^|[\s(,\[]){re.escape(key)}", ln):
+                raise AssertionError(
+                    f"payload column as shuffle key: {ln}")
 
 
 def test_minhash_neardup_plan_no_cartesian(spark, docs_df, no_checkpoint):
@@ -175,3 +186,69 @@ def test_ann_cosine_lsh_plan_no_cartesian(spark, vecs_df, no_checkpoint):
     out2 = similarity.embedding_near_duplicates(vecs_df, dim=16,
                                                 threshold=0.5)
     _assert_lsh_plan_shape(_plan(out2))
+
+
+# ---------------------- round-4 gates: line/url dedup, clean_corpus
+def test_line_dedup_plan_keys(spark, docs_df):
+    """Cross-doc line dedup: every exchange keys on the line hash or
+    the doc id — raw line text must never be a shuffle key (at 100 TB
+    the frequency exchange is hashes+ids only)."""
+    from log_ship_elastic_postfix_spark.operators import dedup
+    multi = docs_df.withColumn(
+        "text", F.concat(F.lit("NAV | shared\n"), F.col("text")))
+    out = dedup.boilerplate_line_dedup(multi, min_docs=2)
+    plan = _plan(out)
+    for bad in _FORBIDDEN_JOINS:
+        assert bad not in plan, plan
+    for ln in _exchange_lines(plan):
+        assert "ln#" not in ln and "text#" not in ln, \
+            f"line text as shuffle key: {ln}"
+        assert "_h#" in ln or "doc_id#" in ln, ln
+
+
+def test_url_dedup_plan_single_exchange(spark):
+    """Canonical-URL dedup: exactly one hash exchange, keyed on the
+    canonical url (partial+final agg shape)."""
+    from log_ship_elastic_postfix_spark.functions import urls
+    df = spark.createDataFrame(
+        [(i, f"http://www.site{i % 9}.com/?utm_campaign={i}")
+         for i in range(60)], ["doc_id", "url"])
+    out = urls.dedup_by_canonical_url(df, url_col="url")
+    plan = _plan(out)
+    ex = _exchange_lines(plan)
+    assert len(ex) == 1, plan
+    assert "canonical_url#" in ex[0], ex[0]
+    for bad in _FORBIDDEN_JOINS:
+        assert bad not in plan, plan
+
+
+def test_clean_corpus_composed_plan_no_cartesian(spark, docs_df,
+                                                 monkeypatch):
+    """The composed cleaning chain (exact → minhash near-dup CC →
+    quality) at the scale config must contain no cartesian or
+    nested-loop join anywhere and no payload-keyed exchange — the
+    composition must not undo the per-operator guarantees. Disabling
+    checkpointing outright would make the CC loop's lineage explode,
+    so instead every localCheckpoint records its pre-truncation
+    physical plan; the union of those segments plus the final frame
+    covers the complete chain."""
+    import pyspark.sql.classic.dataframe as _classic
+    from log_ship_elastic_postfix_spark.plans.corpus import (
+        CorpusCleanConfig, clean_corpus)
+
+    plans: list[str] = []
+    real = _classic.DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        plans.append(_plan(self))
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(_classic.DataFrame, "localCheckpoint", spy)
+    res = clean_corpus(docs_df, CorpusCleanConfig(
+        neardup_threshold=0.5, quality_min_words=2,
+        collect_counts=False, broadcast_shingles=False))
+    monkeypatch.undo()
+    plans.append(_plan(res.docs))
+    assert len(plans) >= 4, "spy must capture the stage checkpoints"
+    for p in plans:
+        _assert_lsh_plan_shape(p)
