@@ -723,6 +723,63 @@ def q_pipeline_reject_counts(spark, sf_dir):
             .orderBy("reject_reason"))
 
 
+def q_stream_metrics(spark, sf_dir):
+    """Streaming windowed ingest metrics END-TO-END through Structured
+    Streaming (streaming.metrics.start_ingest_metrics_stream): a
+    deterministic pages-shaped frame derived from the events table is
+    drained with availableNow into an append-mode parquet sink, then
+    the query restarts once from its checkpoint — the restart's
+    no-data micro-batch applies the final watermark (max event time −
+    2 h), so the emitted set is exactly the finalized windows in
+    closed form, independent of micro-batch splits. The input is ONE
+    file on purpose: a multi-file drain could advance the watermark
+    past rows still waiting in later files (legitimate streaming drops
+    — but nondeterministic vs a batch oracle). Oracle: the same
+    windowed aggregate restated over events with the watermark cutoff
+    as a WHERE clause."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from log_ship_elastic_postfix_spark.streaming.metrics import (
+        start_ingest_metrics_stream)
+
+    base = os.path.join(_tf.gettempdir(), "entry_stream_metrics")
+    _sh.rmtree(base, ignore_errors=True)
+    pages_path = os.path.join(base, "pages")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    e = _t(spark, sf_dir, "events")
+    # watermarks need TIMESTAMP (LTZ); pin the instant to the naive
+    # fields via an explicit +00:00 offset so the query is
+    # session-tz-independent (same pattern as typed_sink_projection)
+    warc_ts = F.to_timestamp(F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit("+00:00")))
+    (e.select(F.col("event_id").cast("string").alias("url"),
+              warc_ts.alias("warc_ts"),
+              F.encode("props", "utf-8").alias("html"),
+              F.col("event_type").alias("lang"))
+     .repartition(1).write.parquet(pages_path))
+
+    for _ in range(2):  # drain, then restart → final-watermark batch
+        q = start_ingest_metrics_stream(
+            spark, pages_path, checkpoint_dir=ckpt, out_path=out,
+            output_mode="append", available_now=True)
+        q.awaitTermination(240)
+
+    m = spark.read.parquet(out)
+
+    def _utc(c):  # render the UTC fields under ANY session timezone
+        return F.date_format(
+            F.to_utc_timestamp(F.col(c), F.current_timezone()),
+            "yyyy-MM-dd HH:mm:ss").alias(c)
+
+    return (m.select(_utc("window_start"), _utc("window_end"),
+                     "lang", "n_rows", "n_bytes")
+            .orderBy("window_start", "lang"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full parse→assemble→enrich→route pipeline over the
     deterministic synthetic pages corpus (oracle-checked end-to-end via
@@ -773,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
+        "stream_metrics": q_stream_metrics,
     }
 
 
@@ -1185,5 +1243,22 @@ def oracle_sql() -> dict[str, str]:
             "and n between 10 and 100000 and wl between 3.0 and 10.0 "
             "and symr <= 0.1 and bulr <= 0.9 and nstops >= 2 "
             "order by doc_id"
+        ),
+        # append-mode watermark semantics as a WHERE clause: a window
+        # is emitted iff its end precedes the final watermark
+        # (max event time − 2 h); 1-hour tumbling windows align to the
+        # epoch in both engines (time_bucket ≡ Spark window())
+        "stream_metrics": (
+            "with e as (select ts, event_type as lang, "
+            "octet_length(encode(props))::bigint as nb from events), "
+            "agg as (select time_bucket(interval '1 hour', ts) as ws, "
+            "lang, count(*)::bigint as n_rows, sum(nb)::bigint as n_bytes "
+            "from e group by all) "
+            "select strftime(ws, '%Y-%m-%d %H:%M:%S') as window_start, "
+            "strftime(ws + interval '1 hour', '%Y-%m-%d %H:%M:%S') "
+            "as window_end, lang, n_rows, n_bytes from agg "
+            "where ws + interval '1 hour' <= "
+            "(select max(ts) - interval '2 hours' from e) "
+            "order by window_start, lang"
         ),
     }

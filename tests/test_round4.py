@@ -239,6 +239,28 @@ def test_clean_corpus_collect_counts_off(spark, monkeypatch):
             == sorted(r["doc_id"] for r in with_counts.docs.collect()))
 
 
+# ----------------------- stream_metrics query: tz-independence pin
+def test_stream_metrics_tz_independent(spark):
+    """q_stream_metrics must produce identical rows under any
+    spark.sql.session.timeZone (watermark columns are LTZ; the query
+    pins instants with an explicit +00:00 offset and renders UTC
+    fields)."""
+    import __spark_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("testdata missing")
+    q = entry.queries()["stream_metrics"]
+    base = [tuple(r) for r in q(spark, sf).collect()]
+    assert base, "stream must emit finalized windows"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        shifted = [tuple(r) for r in q(spark, sf).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert shifted == base
+
+
 # ------------------------------------ IVF: trained-centroid injection
 def test_ivf_trained_centroids(spark):
     """ivf_topk accepts explicit trained centroids (the production
