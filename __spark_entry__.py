@@ -744,6 +744,46 @@ def q_pipeline_reject_counts(spark, sf_dir):
             .orderBy("reject_reason"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (functions.redact.redact_pii): emails → <EMAIL>,
+    IPv4 → <IP>, 13-19-digit runs → <NUM>, with per-rule hit counts.
+    The corpus is derived with planted PII (one of each per doc) so
+    every rule fires; the oracle applies the identical published
+    regexes in the same order — a true differential check of pattern,
+    order, and counting semantics across engines."""
+    from log_ship_elastic_postfix_spark.functions import redact
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact u%d@ex%d.com or 10.0.%d.7 card 4111111111111111",
+                F.col("doc_id").cast("int"),
+                (F.col("doc_id") % 5).cast("int"),
+                (F.col("doc_id") % 200).cast("int"))).alias("text"))
+    r = redact.redact_pii(F.col("text"))
+    return (d.select("doc_id", r.alias("r"))
+            .select("doc_id", "r.text_redacted", "r.n_emails",
+                    "r.n_ips", "r.n_longnums")
+            .orderBy("doc_id"))
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/heldout split (functions.redact.split_assign):
+    a pure function of the doc id (md5-prefix threshold, 256 buckets),
+    so re-runs and growing corpora never reshuffle assignments. The
+    oracle restates the rule as the same md5-substring inequality."""
+    from log_ship_elastic_postfix_spark.functions import redact
+
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(
+        "doc_id",
+        redact.split_bucket(F.col("doc_id")).alias("bucket"),
+        redact.split_assign(F.col("doc_id"), 0.8).alias("split"))
+        .orderBy("doc_id"))
+
+
 def q_stream_metrics(spark, sf_dir):
     """Streaming windowed ingest metrics END-TO-END through Structured
     Streaming (streaming.metrics.start_ingest_metrics_stream): a
@@ -852,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
         "clean_corpus_scale": q_clean_corpus_scale,
+        "pii_redact": q_pii_redact,
+        "sample_split": q_sample_split,
         "stream_metrics": q_stream_metrics,
     }
 
@@ -1287,4 +1329,32 @@ def oracle_sql() -> dict[str, str]:
     # the scale-config composition computes the identical survivor set
     # (the config changes join strategy and accounting, not semantics)
     out["clean_corpus_scale"] = out["clean_corpus"]
+    # identical published regexes, same order, counts before each
+    # replacement (functions/redact.py contract)
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    longnum = "\\b\\d{13,19}\\b"
+    out["pii_redact"] = (
+        "with d as (select doc_id, text || ' contact u' || doc_id "
+        "|| '@ex' || (doc_id % 5) || '.com or 10.0.' || (doc_id % 200) "
+        "|| '.7 card 4111111111111111' as t from documents), "
+        f"r1 as (select doc_id, len(regexp_extract_all(t, '{email}')) "
+        f"as n_emails, regexp_replace(t, '{email}', '<EMAIL>', 'g') "
+        "as t from d), "
+        f"r2 as (select doc_id, n_emails, len(regexp_extract_all(t, "
+        f"'{ipv4}')) as n_ips, regexp_replace(t, '{ipv4}', '<IP>', 'g') "
+        "as t from r1), "
+        f"r3 as (select doc_id, n_emails, n_ips, "
+        f"len(regexp_extract_all(t, '{longnum}')) as n_longnums, "
+        f"regexp_replace(t, '{longnum}', '<NUM>', 'g') as t from r2) "
+        "select doc_id, t as text_redacted, n_emails::int as n_emails, "
+        "n_ips::int as n_ips, n_longnums::int as n_longnums "
+        "from r3 order by doc_id"
+    )
+    out["sample_split"] = (
+        "select doc_id, substr(md5(cast(doc_id as varchar)), 1, 2) "
+        "as bucket, case when substr(md5(cast(doc_id as varchar)), 1, 2) "
+        "< 'cc' then 'train' else 'heldout' end as split "
+        "from documents order by doc_id"
+    )
     return out

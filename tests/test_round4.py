@@ -239,6 +239,49 @@ def test_clean_corpus_collect_counts_off(spark, monkeypatch):
             == sorted(r["doc_id"] for r in with_counts.docs.collect()))
 
 
+# ----------------------- PII redaction + deterministic splitting
+def test_redact_pii_rules_and_order(spark):
+    from log_ship_elastic_postfix_spark.functions import redact
+
+    rows = [
+        (0, "mail a.b+c@ex.co and 192.168.0.1 and 4111111111111111"),
+        (1, "no pii here at all"),
+        (2, "two mails x@y.io z@w.ai one ip 8.8.8.8"),
+        # digits inside an email local part must be consumed by the
+        # EMAIL rule first, never double-redacted as <NUM>
+        (3, "4111111111111111@ex.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        redact.redact_pii(F.col("text")).alias("r")).select(
+        "doc_id", "r.*").collect()}
+    assert got[0]["text_redacted"] == "mail <EMAIL> and <IP> and <NUM>"
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_longnums"]) \
+        == (1, 1, 1)
+    assert got[1]["text_redacted"] == "no pii here at all"
+    assert got[2]["n_emails"] == 2 and got[2]["n_ips"] == 1
+    assert got[3]["text_redacted"] == "<EMAIL>"
+    assert got[3]["n_longnums"] == 0
+
+
+def test_split_assign_stable_and_sized(spark):
+    """Assignments are a pure function of the id (stable under corpus
+    growth) and the train fraction lands near the threshold k/256."""
+    from log_ship_elastic_postfix_spark.functions import redact
+
+    small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    col = redact.split_assign(F.col("doc_id"), 0.8)
+    a_small = {r["doc_id"]: r["s"]
+               for r in small.select("doc_id", col.alias("s")).collect()}
+    a_big = {r["doc_id"]: r["s"]
+             for r in big.select("doc_id", col.alias("s")).collect()}
+    assert all(a_big[k] == v for k, v in a_small.items())
+    frac = sum(v == "train" for v in a_big.values()) / len(a_big)
+    assert abs(frac - 204 / 256) < 0.02
+
+
 # --------------------------- catalog MERGE backend (state_catalog)
 def test_merge_sql_shape():
     """The per-batch MERGE statement: key match + partition pruning in
