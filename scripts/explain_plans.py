@@ -78,11 +78,16 @@ def main() -> None:
         pr_cached.parsed.select("qid").groupBy().count()))
 
     # 5. LSH near-dup family (localCheckpoint patched to identity so
-    # the candidate joins stay visible; production truncates lineage)
-    from pyspark.sql import DataFrame as _DF
+    # the candidate joins stay visible; production truncates lineage).
+    # NOTE: must patch the CONCRETE classic class — Spark 4's
+    # pyspark.sql.DataFrame is an abstract facade and patching it is a
+    # silent no-op (same bug fixed in tests/test_plan_quality.py).
+    import pyspark.sql.classic.dataframe as _classic
+    _DF = _classic.DataFrame
     orig_ckpt = _DF.localCheckpoint
     _DF.localCheckpoint = lambda self, eager=True: self  # type: ignore
     try:
+        from log_ship_elastic_postfix_spark.functions import urls as uu
         from log_ship_elastic_postfix_spark.operators import dedup as dd
         docs_small = spark.createDataFrame(
             [(i, f"alpha beta gamma delta {i % 5} epsilon zeta {i % 3}")
@@ -96,6 +101,13 @@ def main() -> None:
             "cross-doc line dedup (hash-keyed freq → verdict join → "
             "doc reassembly)",
             dd.boilerplate_line_dedup(docs_small, min_docs=2)))
+        urls_small = spark.createDataFrame(
+            [(i, f"http://www.site{i % 9}.com/?utm_campaign={i}")
+             for i in range(50)], ["doc_id", "url"])
+        sections.append((
+            "url dedup (single exchange on canonical_url, "
+            "partial+final min-struct agg)",
+            uu.dedup_by_canonical_url(urls_small, url_col="url")))
     finally:
         _DF.localCheckpoint = orig_ckpt
 
