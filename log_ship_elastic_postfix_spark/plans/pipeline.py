@@ -139,6 +139,11 @@ def run_batch(
                          F.substring("date", 1, 10).alias("d"))
                      .distinct().collect()]
             state_docs = state.lookup(spark, pr.parsed, dates=dates)
+            if state_docs is not None:
+                # two consumers (continuation seeds + routing pins):
+                # persist so the pruned state scan runs once per batch;
+                # batch-bounded (matched docs only), released below
+                state_docs.persist()
 
         docs = assemble_stage(pr.parsed, cfg, state_docs=state_docs)
         docs = enrich.with_parent(docs, parent_map)
@@ -169,6 +174,8 @@ def run_batch(
     finally:
         if multi_consumer and pr.all_rows is not None:
             pr.all_rows.unpersist()
+        if state_docs is not None:
+            state_docs.unpersist()
 
     return BatchResult(batch_seq=batch_seq, docs=docs, routed=routed,
                        rejects=pr.rejects, manifest=manifest)
