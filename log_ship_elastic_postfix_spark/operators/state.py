@@ -202,6 +202,11 @@ class StateStore:
         callers correct too. Migrations across route_dates OUTSIDE the
         batch's date spread are invisible by design — the same scoping
         the reference's uniqYMD index list imposes on its ES search.
+        With ``detect_noop=False`` (raw replace mode, non-default) a
+        partition fully emptied by migration is NOT cleaned — that
+        mode skips the committed-side key scan entirely; use the
+        default, or keep the pipeline's routing pin, where migrations
+        are possible.
         """
         state = self.read(spark)
         emptied_parts: list[str] = []
