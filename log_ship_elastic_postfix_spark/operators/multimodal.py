@@ -107,10 +107,13 @@ def sniff_media_type(payload: bytes) -> str:
             return "audio/wav"
         if sub == b"AVI ":
             return "video/avi"
-    head = payload.lstrip(_WS)
-    if head.startswith(b"<"):
+    # text heuristics read a bounded head (file(1) does the same):
+    # classification must stay O(1) per row, not O(payload), at 10⁹
+    # multi-MB payloads
+    head = payload[:1024]
+    if head.lstrip(_WS).startswith(b"<"):
         return "text/html"
-    if b"\x00" not in payload:
+    if b"\x00" not in head:
         return "text/plain"
     return "application/octet-stream"
 
