@@ -784,6 +784,18 @@ def q_sample_split(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators.packing.pack_documents): documents
+    → fixed-1024-token training sequences, sharded (id % 8) with a
+    per-shard ordered cumsum — no global window anywhere. Oracle: the
+    identical rule as a SQL window sum."""
+    from log_ship_elastic_postfix_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return (packing.pack_documents(d, budget=1024, n_shards=8)
+            .orderBy("doc_id"))
+
+
 def q_stream_metrics(spark, sf_dir):
     """Streaming windowed ingest metrics END-TO-END through Structured
     Streaming (streaming.metrics.start_ingest_metrics_stream): a
@@ -894,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_scale": q_clean_corpus_scale,
         "pii_redact": q_pii_redact,
         "sample_split": q_sample_split,
+        "pack_sequences": q_pack_sequences,
         "stream_metrics": q_stream_metrics,
     }
 
@@ -1356,5 +1369,19 @@ def oracle_sql() -> dict[str, str]:
         "as bucket, case when substr(md5(cast(doc_id as varchar)), 1, 2) "
         "< 'cc' then 'train' else 'heldout' end as split "
         "from documents order by doc_id"
+    )
+    # packing rule restated: per-shard ordered window cumsum; a doc's
+    # sequence is where its first token lands (start // budget)
+    out["pack_sequences"] = (
+        "with t as (select doc_id, doc_id % 8 as shard, "
+        "cast(case when trim(text) = '' then 0 else "
+        "len(string_split_regex(trim(text), '\\s+')) end as bigint) "
+        "as n_tokens from documents), "
+        "c as (select *, sum(n_tokens) over (partition by shard "
+        "order by doc_id rows unbounded preceding) - n_tokens as s "
+        "from t) "
+        "select doc_id, shard::bigint as shard, n_tokens, "
+        "(s // 1024)::bigint as seq_id, (s % 1024)::bigint "
+        "as offset_in_seq from c order by doc_id"
     )
     return out

@@ -239,6 +239,63 @@ def test_clean_corpus_collect_counts_off(spark, monkeypatch):
             == sorted(r["doc_id"] for r in with_counts.docs.collect()))
 
 
+# ------------------------------------------- sequence packing
+def test_pack_documents_semantics(spark):
+    """Greedy fixed-budget packing: a doc's sequence is where its
+    first token lands; straddling is allowed; offsets are exact."""
+    from log_ship_elastic_postfix_spark.operators import packing
+
+    rows = [(0, "a " * 6), (8, "b " * 6), (16, "c " * 6)]  # shard 0
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           packing.pack_documents(df, budget=10, n_shards=8).collect()}
+    # cumulative starts: 0, 6, 12 → seqs 0, 0, 1; offsets 0, 6, 2
+    assert (got[0]["seq_id"], got[0]["offset_in_seq"]) == (0, 0)
+    assert (got[8]["seq_id"], got[8]["offset_in_seq"]) == (0, 6)
+    assert (got[16]["seq_id"], got[16]["offset_in_seq"]) == (1, 2)
+
+    stats = {(r["shard"], r["seq_id"]): (r["n_docs"], r["n_tokens"])
+             for r in packing.sequence_stats(
+                 packing.pack_documents(df, budget=10, n_shards=8))
+             .collect()}
+    assert stats == {(0, 0): (2, 12), (0, 1): (1, 6)}
+
+
+def test_pack_documents_plan_no_global_window(spark):
+    """The window must partition by shard — no single-partition global
+    window (the packing-at-scale killer): the only exchange is
+    hashpartitioning on the shard key."""
+    from log_ship_elastic_postfix_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, "x y z") for i in range(50)], "doc_id long, text string")
+    plan = packing.pack_documents(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    ex = [ln for ln in plan.splitlines()
+          if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1 and "shard" in ex[0], plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_sniff_media_type_total(spark):
+    """Totality fuzz: arbitrary byte payloads never throw and always
+    classify into the documented type set."""
+    import random
+    from log_ship_elastic_postfix_spark.operators import multimodal as mm
+
+    known = {"image/png", "image/jpeg", "image/gif", "application/pdf",
+             "audio/ogg", "video/webm", "image/webp", "audio/wav",
+             "video/avi", "text/html", "text/plain",
+             "application/octet-stream"}
+    rng = random.Random(7)
+    payloads = [b"", None, b"\x00", b"RIFF", b"RIFF12345678"] + [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        for _ in range(500)]
+    for p in payloads:
+        assert mm.sniff_media_type(p) in known
+
+
 # ----------------------- PII redaction + deterministic splitting
 def test_redact_pii_rules_and_order(spark):
     from log_ship_elastic_postfix_spark.functions import redact
