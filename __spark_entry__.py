@@ -1213,7 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocabulary": (
             "with toks as (select doc_id, unnest(string_split_regex("
-            "lower(trim(text)), '\s+')) as token from documents), "
+            "lower(trim(text)), '\\s+')) as token from documents), "
             "t as (select * from toks where token != '') "
             "select token, count(*)::bigint as n_occurrences, "
             "count(distinct doc_id)::bigint as n_docs from t "
