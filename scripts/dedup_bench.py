@@ -9,7 +9,12 @@ near-duplicate pairs (1 in 16 docs is a 3-token mutation of its
 predecessor) and exact duplicates (1 in 32). Prints one JSON line:
 
     {"n_docs": N, "minhash_sec": ..., "minhash_docs_per_sec": ...,
-     "exact_sec": ..., "line_dedup_sec": ..., "n_neardup_pairs": ...}
+     "exact_sec": ..., "line_dedup_sec": ..., "n_neardup_pairs": ...,
+     "clean_corpus_sec": ..., "clean_corpus_stage_counts": {...}}
+
+The composed clean_corpus run doubles as a closed-form correctness
+proof at scale (the planted structure's stage counts are asserted —
+the process exits nonzero on mismatch).
 
 Run: python scripts/dedup_bench.py [n_docs]  (default 100_000)
 """
