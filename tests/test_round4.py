@@ -296,6 +296,46 @@ def test_sniff_media_type_total(spark):
         assert mm.sniff_media_type(p) in known
 
 
+def test_pack_documents_invariants(spark):
+    """Randomized (seeded) invariants: offsets < budget, per-shard
+    reconstruction start == seq_id*budget + offset == exclusive
+    cumsum in id order, seq ids nondecreasing, and sequence_stats
+    conserves doc/token totals. Includes empty docs and docs larger
+    than the whole budget."""
+    import random
+    from log_ship_elastic_postfix_spark.operators import packing
+
+    rng = random.Random(11)
+    rows = [(i, " ".join("w" for _ in range(rng.choice(
+        [0, 1, 3, 7, 10, 25]))))
+        for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget, n_shards = 10, 4
+    packed = packing.pack_documents(df, budget=budget,
+                                    n_shards=n_shards).collect()
+    by_shard: dict = {}
+    for r in packed:
+        assert 0 <= r["offset_in_seq"] < budget
+        by_shard.setdefault(r["shard"], []).append(r)
+    n_tok = {i: (len(t.split()) if t.strip() else 0) for i, t in rows}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        last_seq = 0
+        for r in rs:
+            assert r["doc_id"] % n_shards == shard
+            assert r["n_tokens"] == n_tok[r["doc_id"]]
+            assert r["seq_id"] * budget + r["offset_in_seq"] == cum
+            assert r["seq_id"] >= last_seq
+            last_seq = r["seq_id"]
+            cum += r["n_tokens"]
+    stats = packing.sequence_stats(
+        packing.pack_documents(df, budget=budget,
+                               n_shards=n_shards)).collect()
+    assert sum(r["n_docs"] for r in stats) == 200
+    assert sum(r["n_tokens"] for r in stats) == sum(n_tok.values())
+
+
 # ----------------------- PII redaction + deterministic splitting
 def test_redact_pii_rules_and_order(spark):
     from log_ship_elastic_postfix_spark.functions import redact
