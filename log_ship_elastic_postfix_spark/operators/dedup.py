@@ -602,7 +602,17 @@ def boilerplate_line_dedup(
     exchange on the doc id the pipeline's fold uses. Empty/whitespace
     lines are kept verbatim (they carry formatting, and counting them
     would make '' the ultimate mega-group — the same degenerate-input
-    rule as the LSH banding above)."""
+    rule as the LSH banding above).
+
+    Skew note (100 TB): a universal boilerplate line ("Home | About")
+    is a hot join key — every occurrence routes to the same hash
+    partition in the verdict join. The frequency side is one row per
+    hash (already aggregated), so AQE's skew-join split handles it:
+    the hot partition splits and the single freq row replicates to
+    each split (`spark.sql.adaptive.enabled` is on everywhere in this
+    repo). The groupBy side is safe independently: counting is
+    partial+final, so the hot hash contributes one partial row per
+    map task, never a mega-group."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), line_sep))
