@@ -64,12 +64,17 @@ def split_bucket(id_col: Column) -> Column:
 
 
 def split_assign(id_col: Column, train_frac: float = 0.8) -> Column:
-    """'train' / 'heldout' with P(train) = round(train_frac·256)/256.
+    """'train' / 'heldout' with P(train) = floor(train_frac·256)/256
+    (floor, not round: 0.8 → 204 buckets → threshold 'cc', so the
+    published rule "bucket < hex(floor(frac·256))" is exact and an
+    external engine restating it agrees on EVERY bucket — a round()
+    here once produced 'cd' while the oracle said 'cc', a mismatch
+    invisible until a corpus contains a bucket-'cc' id).
 
     Lexicographic compare of the 2-hex-char bucket against the
     threshold prefix — both sides lowercase hex, so the rule is a
     plain string inequality any SQL engine evaluates identically."""
-    k = max(0, min(256, round(train_frac * 256)))
+    k = max(0, min(256, int(train_frac * 256)))
     threshold = format(k, "02x")
     return F.when(split_bucket(id_col) < F.lit(threshold),
                   F.lit("train")).otherwise(F.lit("heldout"))

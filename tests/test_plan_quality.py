@@ -222,6 +222,22 @@ def test_url_dedup_plan_single_exchange(spark):
         assert bad not in plan, plan
 
 
+def test_redact_and_split_plan_fully_narrow(spark, docs_df):
+    """PII redaction and split assignment are pure projections: the
+    physical plan must contain NO exchange at all (at 100 TB these run
+    at scan speed, pipelined into whatever stage follows)."""
+    from log_ship_elastic_postfix_spark.functions import redact
+    out = docs_df.select(
+        "doc_id",
+        redact.redact_pii(F.col("text")).alias("r"),
+        redact.split_assign(F.col("doc_id")).alias("split"))
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    # '*(n)' prefixes mark whole-stage-codegen stages in the compact
+    # plan string (the literal label only appears in formatted mode)
+    assert "*(1) Project" in plan, plan
+
+
 def test_clean_corpus_composed_plan_no_cartesian(spark, docs_df,
                                                  monkeypatch):
     """The composed cleaning chain (exact → minhash near-dup CC →

@@ -377,6 +377,11 @@ def test_split_assign_stable_and_sized(spark):
     assert all(a_big[k] == v for k, v in a_small.items())
     frac = sum(v == "train" for v in a_big.values()) / len(a_big)
     assert abs(frac - 204 / 256) < 0.02
+    # exact boundary pin: md5('549')[:2] == 'cc', and the 0.8 rule is
+    # "bucket < hex(floor(0.8·256)) = 'cc'" — a bucket-'cc' id is
+    # heldout. (A round()-based threshold produced 'cd' and silently
+    # disagreed with the published rule exactly and only here.)
+    assert a_big[549] == "heldout" and a_big[755] == "heldout"
 
 
 # --------------------------- catalog MERGE backend (state_catalog)
