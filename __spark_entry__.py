@@ -784,6 +784,21 @@ def q_sample_split(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators.dedup.benchmark_
+    contamination): every doc sharing a distinct word 5-gram with the
+    'benchmark' slice (doc_id%50==0) is flagged with its shared-gram
+    count — the drop-before-training audit. Both sides reduce to
+    distinct gram identities before the join; the oracle restates the
+    rule on raw grams (the Spark side joins 64-bit gram hashes —
+    equality of results also certifies collision-freedom on this
+    corpus)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+    return (dedup.benchmark_contamination(d, bench, n=5)
+            .orderBy("doc_id"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (operators.packing.pack_documents): documents
     → fixed-1024-token training sequences, sharded (id % 8) with a
@@ -907,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "sample_split": q_sample_split,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "stream_metrics": q_stream_metrics,
     }
 
@@ -1369,6 +1385,25 @@ def oracle_sql() -> dict[str, str]:
         "as bucket, case when substr(md5(cast(doc_id as varchar)), 1, 2) "
         "< 'cc' then 'train' else 'heldout' end as split "
         "from documents order by doc_id"
+    )
+    # decontamination restated on RAW grams (Spark joins gram hashes):
+    # distinct word 5-grams per doc, benchmark = union over the
+    # doc_id%50==0 slice, count the per-doc intersection
+    out["decontaminate"] = (
+        "with t as (select doc_id, string_split(trim(regexp_replace("
+        "lower(text), '\\s+', ' ', 'g')), ' ') as toks from documents), "
+        "s as (select doc_id, list_distinct(list_transform("
+        "range(greatest(len(toks) - 4, 0)), "
+        "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' "
+        "|| toks[i+4] || ' ' || toks[i+5])) as sh from t), "
+        "b as (select distinct unnest(sh) as g from s "
+        "where doc_id % 50 = 0), "
+        "ds as (select doc_id, unnest(sh) as g from s), "
+        "hits as (select doc_id, count(*) as n from ds join b using (g) "
+        "group by doc_id) "
+        "select s.doc_id, coalesce(hits.n, 0)::bigint as n_shared_ngrams, "
+        "coalesce(hits.n, 0) > 0 as contaminated "
+        "from s left join hits using (doc_id) order by s.doc_id"
     )
     # packing rule restated: per-shard ordered window cumsum; a doc's
     # sequence is where its first token lands (start // budget)

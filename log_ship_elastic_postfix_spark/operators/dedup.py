@@ -639,6 +639,50 @@ def boilerplate_line_dedup(
         (F.size(F.col("_ls")) - F.size(kept)).alias("n_lines_dropped"))
 
 
+# ------------------------------------------ benchmark decontamination
+def benchmark_contamination(
+    df: DataFrame, benchmark: DataFrame, *, text_col: str = "text",
+    id_col: str = "doc_id", bench_text_col: str = "text", n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Training-corpus decontamination: one row per document with the
+    count of distinct word ``n``-grams it shares with a benchmark/eval
+    set, plus the ``contaminated`` flag (≥1 shared n-gram — the GPT-3 /
+    RefinedWeb-style decontamination rule). A pipeline drops or audits
+    flagged docs before training so eval numbers aren't memorization.
+
+    Scale shape: both sides reduce to DISTINCT 64-bit n-gram hashes
+    before any join — doc text crosses the wire never, benchmark text
+    once. The benchmark side (an eval suite: thousands of docs, ≪ the
+    corpus) defaults to a broadcast build (`broadcast_benchmark=True`);
+    at an unusually large benchmark, False gives the hash-keyed shuffle
+    join. Exchanges carry (id, hash) pairs only. Docs too short to
+    form an n-gram produce no rows and come back contaminated=false
+    via the left join — the same degenerate-input rule as LSH banding.
+    """
+    doc_grams = (df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"))
+        .select(id_col, F.xxhash64("_g").alias("_h"))
+        .distinct())
+    bench_grams = (benchmark.select(
+        F.explode(shingles(F.col(bench_text_col), n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_h"))
+        .distinct())
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (doc_grams.join(bench_grams, "_h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared_ngrams")))
+    return (df.select(id_col).join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_shared_ngrams", F.lit(0)).cast("long")
+                .alias("n_shared_ngrams"),
+                (F.coalesce("n_shared_ngrams", F.lit(0)) > 0)
+                .alias("contaminated")))
+
+
 # ------------------------------------------- corpus vocabulary stats
 def vocabulary_counts(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",

@@ -239,6 +239,34 @@ def test_clean_corpus_collect_counts_off(spark, monkeypatch):
             == sorted(r["doc_id"] for r in with_counts.docs.collect()))
 
 
+# ------------------------------------- benchmark decontamination
+def test_benchmark_contamination(spark):
+    from log_ship_elastic_postfix_spark.operators import dedup
+
+    docs = spark.createDataFrame([
+        (1, "the secret benchmark phrase is hidden inside this document"),
+        (2, "completely unrelated words nothing in common at all here"),
+        (3, "short doc"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("question the secret benchmark phrase is hidden answer yes",)],
+        "text string")
+
+    got = {r["doc_id"]: (r["n_shared_ngrams"], r["contaminated"])
+           for r in dedup.benchmark_contamination(docs, bench, n=5)
+           .collect()}
+    # doc 1 shares exactly two distinct 5-grams with the benchmark
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)      # too short to form a 5-gram
+
+    # shuffle-join path (broadcast off) is result-identical
+    got2 = {r["doc_id"]: (r["n_shared_ngrams"], r["contaminated"])
+            for r in dedup.benchmark_contamination(
+                docs, bench, n=5, broadcast_benchmark=False).collect()}
+    assert got2 == got
+
+
 # ------------------------------------------- sequence packing
 def test_pack_documents_semantics(spark):
     """Greedy fixed-budget packing: a doc's sequence is where its
