@@ -96,7 +96,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "simhash_neardup", "embedding_neardup", "media_metadata",
              "typed_sink_projection", "url_canonical", "url_dedup",
              "line_dedup", "vocabulary", "gopher_quality",
-             "repetition_stats", "pii_redact", "sample_split"]
+             "repetition_stats", "pii_redact", "sample_split",
+             "decontaminate"]
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in names:
