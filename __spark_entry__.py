@@ -780,7 +780,14 @@ def q_sample_split(spark, sf_dir):
     return (d.select(
         "doc_id",
         redact.split_bucket(F.col("doc_id")).alias("bucket"),
-        redact.split_assign(F.col("doc_id"), 0.8).alias("split"))
+        redact.split_assign(F.col("doc_id"), 0.8).alias("split"),
+        # grid of thresholds so the published rule is pinned across
+        # its whole domain, including both endpoints (frac 1.0 once
+        # hid a 3-char-threshold lexicographic bug, VERDICT r4 #1)
+        redact.split_assign(F.col("doc_id"), 1 / 256).alias("split_lo"),
+        redact.split_assign(F.col("doc_id"), 255 / 256).alias("split_hi"),
+        redact.split_assign(F.col("doc_id"), 1.0).alias("split_full"),
+        redact.split_assign(F.col("doc_id"), 0.0).alias("split_none"))
         .orderBy("doc_id"))
 
 
@@ -819,23 +826,32 @@ def q_stream_metrics(spark, sf_dir):
     the query restarts once from its checkpoint — the restart's
     no-data micro-batch applies the final watermark (max event time −
     2 h), so the emitted set is exactly the finalized windows in
-    closed form, independent of micro-batch splits. The input is ONE
-    file on purpose: a multi-file drain could advance the watermark
-    past rows still waiting in later files (legitimate streaming drops
-    — but nondeterministic vs a batch oracle). Oracle: the same
-    windowed aggregate restated over events with the watermark cutoff
-    as a WHERE clause."""
+    closed form, independent of micro-batch splits.
+
+    The input is MULTI-file with ``maxFilesPerTrigger=1`` — the
+    realistic incremental-source drive — kept deterministic by
+    construction: the corpus is split into three TIME-ORDERED slices
+    (every row of slice i+1 ≥ the max event time of slice i) with
+    strictly increasing file mtimes AND lexicographic names, so
+    Spark's file source processes them in order and the per-batch
+    watermark (max seen − 2 h) can never pass a window that still
+    has rows in a later file — zero late drops, and the emitted set
+    stays the same closed form the batch oracle states. All paths
+    are per-run-unique (mkdtemp): concurrent driver/verify runs on
+    one host share nothing. Oracle: the same windowed aggregate over
+    events with the watermark cutoff as a WHERE clause."""
+    import glob as _gl
     import shutil as _sh
     import tempfile as _tf
 
     from log_ship_elastic_postfix_spark.streaming.metrics import (
         start_ingest_metrics_stream)
 
-    base = os.path.join(_tf.gettempdir(), "entry_stream_metrics")
-    _sh.rmtree(base, ignore_errors=True)
+    base = _tf.mkdtemp(prefix="entry_stream_metrics_")
     pages_path = os.path.join(base, "pages")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
+    os.makedirs(pages_path)
 
     e = _t(spark, sf_dir, "events")
     # watermarks need TIMESTAMP (LTZ); pin the instant to the naive
@@ -844,16 +860,37 @@ def q_stream_metrics(spark, sf_dir):
     warc_ts = F.to_timestamp(F.concat(
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
         F.lit("+00:00")))
-    (e.select(F.col("event_id").cast("string").alias("url"),
-              warc_ts.alias("warc_ts"),
-              F.encode("props", "utf-8").alias("html"),
-              F.col("event_type").alias("lang"))
-     .repartition(1).write.parquet(pages_path))
+    pages = e.select(F.col("event_id").cast("string").alias("url"),
+                     warc_ts.alias("warc_ts"),
+                     F.encode("props", "utf-8").alias("html"),
+                     F.col("event_type").alias("lang"))
+    # three time-ordered slices: boundaries cut the event-time range
+    # into thirds, so slice i+1's min ≥ slice i's max and the ordered
+    # drain drops nothing
+    mn, mx = pages.select(F.min("warc_ts"), F.max("warc_ts")).first()
+    span = mx - mn
+    lo, hi = mn + span / 3, mn + 2 * span / 3
+    slices = [pages.filter(F.col("warc_ts") < F.lit(lo)),
+              pages.filter((F.col("warc_ts") >= F.lit(lo))
+                           & (F.col("warc_ts") < F.lit(hi))),
+              pages.filter(F.col("warc_ts") >= F.lit(hi))]
+    for i, sl in enumerate(slices):
+        stage = os.path.join(base, f"stage{i}")
+        sl.repartition(1).write.parquet(stage)
+        part = _gl.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(pages_path, f"slice-{i:04d}.parquet")
+        _sh.move(part, dst)
+        # strictly increasing mtimes — Spark's file source orders by
+        # modification time; ties would make batch order (and thus
+        # which rows are late) nondeterministic
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _sh.rmtree(stage)
 
     for _ in range(2):  # drain, then restart → final-watermark batch
         q = start_ingest_metrics_stream(
             spark, pages_path, checkpoint_dir=ckpt, out_path=out,
-            output_mode="append", available_now=True)
+            output_mode="append", available_now=True,
+            max_files_per_trigger=1)
         q.awaitTermination(240)
 
     m = spark.read.parquet(out)
@@ -1381,10 +1418,16 @@ def oracle_sql() -> dict[str, str]:
         "from r3 order by doc_id"
     )
     out["sample_split"] = (
-        "select doc_id, substr(md5(cast(doc_id as varchar)), 1, 2) "
-        "as bucket, case when substr(md5(cast(doc_id as varchar)), 1, 2) "
-        "< 'cc' then 'train' else 'heldout' end as split "
-        "from documents order by doc_id"
+        "with b as (select doc_id, "
+        "substr(md5(cast(doc_id as varchar)), 1, 2) as bucket "
+        "from documents) "
+        "select doc_id, bucket, "
+        "case when bucket < 'cc' then 'train' else 'heldout' end as split, "
+        "case when bucket < '01' then 'train' else 'heldout' end as split_lo, "
+        "case when bucket < 'ff' then 'train' else 'heldout' end as split_hi, "
+        "'train' as split_full, "
+        "'heldout' as split_none "
+        "from b order by doc_id"
     )
     # decontamination restated on RAW grams (Spark joins gram hashes):
     # distinct word 5-grams per doc, benchmark = union over the

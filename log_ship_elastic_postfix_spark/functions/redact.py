@@ -73,8 +73,22 @@ def split_assign(id_col: Column, train_frac: float = 0.8) -> Column:
 
     Lexicographic compare of the 2-hex-char bucket against the
     threshold prefix — both sides lowercase hex, so the rule is a
-    plain string inequality any SQL engine evaluates identically."""
+    plain string inequality any SQL engine evaluates identically.
+
+    The endpoints are special-cased, not compared: ``k >= 256``
+    (frac = 1.0) would format as the THREE-char string ``"100"``,
+    and ``"ff" < "100"`` is lexicographically False — the string
+    inequality silently sent ~93 % of docs to heldout when 100 %
+    train was requested. ``k <= 0`` is the symmetric degenerate
+    (compare against ``"00"`` happens to work, but the constant is
+    clearer and engine-independent). For 1 ≤ k ≤ 255 both sides are
+    exactly 2 chars and the inequality is total and correct —
+    pinned by the frac-grid property test in test_round5.py."""
     k = max(0, min(256, int(train_frac * 256)))
+    if k >= 256:
+        return F.lit("train")
+    if k <= 0:
+        return F.lit("heldout")
     threshold = format(k, "02x")
     return F.when(split_bucket(id_col) < F.lit(threshold),
                   F.lit("train")).otherwise(F.lit("heldout"))

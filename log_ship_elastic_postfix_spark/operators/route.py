@@ -54,10 +54,20 @@ def pin_committed_routing(routed: DataFrame,
     must clean up (``StateStore.upsert`` handles that too, defensively,
     but the pin makes it unreachable in the normal flow). Broadcast
     join: the pin frame is batch-bounded metadata (qid + two short
-    strings per matched doc)."""
-    pins = (committed.select("qid", F.col("sink").alias("_pin_sink"),
-                             F.col("route_date").alias("_pin_rd"))
-            .dropDuplicates(["qid"]))
+    strings per matched doc).
+
+    When a qid somehow has committed rows under MORE than one
+    (sink, route_date) — reachable via the documented cross-date
+    scoping gap — the pin picks the max (route_date, sink) pair via
+    an aggregate, NOT dropDuplicates: dropDuplicates keeps an
+    arbitrary row per key, so replays of the same batch could route
+    the doc to different partitions, the exact nondeterminism the
+    pin exists to prevent. max_by-style struct max is deterministic
+    for every run over the same committed state."""
+    pins = (committed.groupBy("qid")
+            .agg(F.max(F.struct("route_date", "sink")).alias("_p"))
+            .select("qid", F.col("_p.sink").alias("_pin_sink"),
+                    F.col("_p.route_date").alias("_pin_rd")))
     cols = routed.columns
     return (routed.join(F.broadcast(pins), "qid", "left")
             .withColumn("sink", F.coalesce("_pin_sink", F.col("sink")))

@@ -40,11 +40,58 @@ class StateStore:
     def __init__(self, path: str):
         self.path = path
 
-    def exists(self, spark: SparkSession) -> bool:
+    def _fs(self, spark: SparkSession):
         sc = spark.sparkContext
-        hpath = sc._jvm.org.apache.hadoop.fs.Path(self.path)  # type: ignore[attr-defined]
-        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
-        return bool(fs.exists(hpath))
+        jvm = sc._jvm  # type: ignore[attr-defined]
+        conf = sc._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        mk = jvm.org.apache.hadoop.fs.Path
+        hpath = mk(self.path)
+        return mk, hpath, hpath.getFileSystem(conf)
+
+    def _recover_swap(self, spark: SparkSession) -> bool:
+        """Heal a crashed :meth:`compact` swap. The swap is
+        rename(base→old) then rename(tmp→base); a crash between the
+        two leaves the live path absent while a COMPLETE copy exists
+        under ``__compact_tmp`` (written and closed before the first
+        rename) and the pre-compaction copy under ``__compact_old``.
+        Without recovery, read()/exists() report 'no state' — a valid
+        empty-store answer, so the next run silently proceeds from
+        nothing and a later cleanup deletes the only copy.
+
+        Rule (checked only when base is ABSENT, so the happy path
+        pays nothing): promote tmp if present (newest complete copy),
+        else promote old; delete the other copy only AFTER base is
+        restored. Returns True iff a recovery rename happened."""
+        mk, hpath, fs = self._fs(spark)
+        if fs.exists(hpath):
+            return False
+        base = self.path.rstrip("/")
+        p_tmp = mk(base + "__compact_tmp")
+        p_old = mk(base + "__compact_old")
+        if fs.exists(p_tmp):
+            if not fs.rename(p_tmp, hpath):
+                raise IOError(
+                    f"state recovery: {base} absent and promoting "
+                    f"__compact_tmp failed — refusing to treat the "
+                    f"store as empty")
+            fs.delete(p_old, True)
+            return True
+        if fs.exists(p_old):
+            if not fs.rename(p_old, hpath):
+                raise IOError(
+                    f"state recovery: {base} absent and promoting "
+                    f"__compact_old failed — refusing to treat the "
+                    f"store as empty")
+            return True
+        return False
+
+    def exists(self, spark: SparkSession) -> bool:
+        _, hpath, fs = self._fs(spark)
+        if fs.exists(hpath):
+            return True
+        # base absent: before answering "empty store", heal any
+        # crashed compact swap (survivor dirs ⇒ state DOES exist)
+        return self._recover_swap(spark)
 
     def preflight(self, spark: SparkSession) -> None:
         """Sink availability gate — the reference pings ES before

@@ -62,6 +62,7 @@ def start_ingest_metrics_stream(
     output_mode: str = "append",
     query_name: str = "ingest_metrics",
     available_now: bool = True,
+    max_files_per_trigger: int = 4,
 ):
     """Start the metrics query.
 
@@ -71,7 +72,8 @@ def start_ingest_metrics_stream(
     all windows so far to an in-memory table named ``query_name``.
     """
     agg = windowed_ingest_metrics(
-        stream_pages(spark, pages_path),
+        stream_pages(spark, pages_path,
+                     max_files_per_trigger=max_files_per_trigger),
         window_duration=window_duration, watermark=watermark)
     writer = (agg.writeStream.outputMode(output_mode)
               .option("checkpointLocation", checkpoint_dir)
