@@ -806,6 +806,52 @@ def q_decontaminate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (operators.dedup.scrub_contaminated_
+    spans): the Lee-et-al-style upgrade of `decontaminate` — instead
+    of dropping any doc sharing an n-gram with the benchmark, locate
+    the contaminated SPANS (normalized newline-split) and rebuild the
+    doc without them. The corpus is derived multi-line with a planted
+    eval sentence (case- and whitespace-VARIANT, so normalization is
+    what matches) in every 7th doc; the benchmark is two literal
+    sentences (one planted, one decoy that must match nothing). The
+    oracle restates the whole operation generically on raw normalized
+    spans — equality also certifies the span-hash join collision-free
+    on this corpus."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\nEval Answer: THE quick  probe sentence"))
+            .otherwise(F.concat(F.lit("\nclean tail "),
+                                F.col("doc_id").cast("string"))))
+        .alias("text"))
+    bench = spark.createDataFrame(
+        [("eval answer: the quick probe sentence",),
+         ("an unseen decoy sentence",)], "text string")
+    return (dedup.scrub_contaminated_spans(d, bench)
+            .orderBy("doc_id"))
+
+
+def q_perplexity_bucket(spark, sf_dir):
+    """CCNet-style LM-perplexity quality buckets (operators.
+    perplexity): a unigram add-one model is built FROM the corpus
+    (token log-probs frozen to integer micro-nats — the one ln per
+    vocab entry is the only float step), every doc scores an exact
+    integer sum ÷ n·1e6, and docs bucket head/middle/tail at the
+    documented injected thresholds (3.4 / 3.404 ≈ the sf0.01
+    terciles). The oracle rebuilds the same model and restates the
+    same arithmetic — micro-nat freezing is what makes the comparison
+    exact across engines."""
+    from log_ship_elastic_postfix_spark.operators import perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    return (perplexity.perplexity_buckets(
+        d, head_max=3.4, middle_max=3.404)
+        .orderBy("doc_id"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (operators.packing.pack_documents): documents
     → fixed-1024-token training sequences, sharded (id % 8) with a
@@ -816,6 +862,23 @@ def q_pack_sequences(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (packing.pack_documents(d, budget=1024, n_shards=8)
             .orderBy("doc_id"))
+
+
+def q_pack_sequences_bpe(spark, sf_dir):
+    """Sequence packing under a TOKENIZER budget: the same sharded
+    cumsum rule, but budgets counted by the sub-word proxy
+    (textstats.bpe_ish_token_count) via the pluggable token_counter —
+    real trainers pack by tokenizer tokens, not words (VERDICT r4 #2).
+    Oracle: the same window sum over DuckDB's regexp_extract_all
+    restatement of the BPE-ish rule."""
+    from log_ship_elastic_postfix_spark.functions import textstats
+    from log_ship_elastic_postfix_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return (packing.pack_documents(
+        d, budget=512, n_shards=8,
+        token_counter=textstats.bpe_ish_token_count)
+        .orderBy("doc_id"))
 
 
 def q_stream_metrics(spark, sf_dir):
@@ -959,7 +1022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "sample_split": q_sample_split,
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_bpe": q_pack_sequences_bpe,
         "decontaminate": q_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
+        "perplexity_bucket": q_perplexity_bucket,
         "stream_metrics": q_stream_metrics,
     }
 
@@ -1448,6 +1514,62 @@ def oracle_sql() -> dict[str, str]:
         "coalesce(hits.n, 0) > 0 as contaminated "
         "from s left join hits using (doc_id) order by s.doc_id"
     )
+    # span decontamination restated generically on RAW normalized
+    # spans (Spark joins span hashes): newline-split, normalize,
+    # probe membership against the literal benchmark's spans, rebuild
+    # from the RAW kept spans in order
+    out["decontaminate_spans"] = (
+        "with d as (select doc_id, text || case when doc_id % 7 = 0 "
+        "then chr(10) || 'Eval Answer: THE quick  probe sentence' "
+        "else chr(10) || 'clean tail ' || doc_id end as text "
+        "from documents), "
+        "b as (select distinct trim(regexp_replace(lower(s), '\\s+', "
+        "' ', 'g')) as norm from (select unnest(string_split(bt, "
+        "chr(10))) as s from (values "
+        "('eval answer: the quick probe sentence'), "
+        "('an unseen decoy sentence')) v(bt)) "
+        "where trim(regexp_replace(lower(s), '\\s+', ' ', 'g')) != ''), "
+        "s as (select doc_id, unnest(list_transform(string_split(text, "
+        "chr(10)), (x, i) -> struct_pack(idx := i - 1, raw := x))) "
+        "as u from d), "
+        "m as (select doc_id, u.idx as span_idx, u.raw as span, "
+        "trim(regexp_replace(lower(u.raw), '\\s+', ' ', 'g')) as norm "
+        "from s), "
+        "f as (select doc_id, span_idx, span, (norm != '' and "
+        "norm in (select norm from b)) as contam from m) "
+        "select doc_id, "
+        "sum(case when contam then 1 else 0 end)::bigint "
+        "as n_spans_removed, "
+        "sum(case when contam then 0 else 1 end)::bigint "
+        "as n_spans_kept, "
+        "coalesce(string_agg(case when not contam then span end, "
+        "chr(10) order by span_idx), '') as text_clean "
+        "from f group by doc_id order by doc_id"
+    )
+    # unigram add-one model rebuilt in SQL; lpsum is an exact integer
+    # sum of micro-nat log-probs (sum(bigint) is hugeint in DuckDB —
+    # the division normalizes to double identically)
+    out["perplexity_bucket"] = (
+        "with toks as (select doc_id, unnest(list_filter("
+        "string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')) "
+        "as token from documents), "
+        "cnt as (select token, count(*) as c from toks group by token), "
+        "meta as (select sum(c)::double + count(*)::double as denom "
+        "from cnt), "
+        "model as (select token, round(ln((c + 1.0) / denom) "
+        "* 1000000)::bigint as lp from cnt, meta), "
+        "sc as (select t.doc_id, count(*)::bigint as n_tokens, "
+        "sum(m.lp) as lpsum from toks t join model m using (token) "
+        "group by t.doc_id), "
+        "s as (select d.doc_id, coalesce(sc.n_tokens, 0)::bigint "
+        "as n_tokens, case when coalesce(sc.n_tokens, 0) > 0 then "
+        "round(-lpsum / (sc.n_tokens * 1000000.0), 6) else 0.0 end "
+        "as nll from documents d left join sc using (doc_id)) "
+        "select doc_id, n_tokens, nll, "
+        "case when nll <= 3.4 then 'head' when nll <= 3.404 then "
+        "'middle' else 'tail' end as ppl_bucket "
+        "from s order by doc_id"
+    )
     # packing rule restated: per-shard ordered window cumsum; a doc's
     # sequence is where its first token lands (start // budget)
     out["pack_sequences"] = (
@@ -1460,6 +1582,21 @@ def oracle_sql() -> dict[str, str]:
         "from t) "
         "select doc_id, shard::bigint as shard, n_tokens, "
         "(s // 1024)::bigint as seq_id, (s % 1024)::bigint "
+        "as offset_in_seq from c order by doc_id"
+    )
+    # same packing rule under the BPE-ish sub-word budget (the
+    # regexp restatement's engine parity is proven by
+    # text_quality_full's n_bpe_tokens column)
+    out["pack_sequences_bpe"] = (
+        "with t as (select doc_id, doc_id % 8 as shard, "
+        "cast(len(regexp_extract_all(lower(text), "
+        "'[a-z]{1,4}|\\d|[^\\sa-z\\d]')) as bigint) as n_tokens "
+        "from documents), "
+        "c as (select *, sum(n_tokens) over (partition by shard "
+        "order by doc_id rows unbounded preceding) - n_tokens as s "
+        "from t) "
+        "select doc_id, shard::bigint as shard, n_tokens, "
+        "(s // 512)::bigint as seq_id, (s % 512)::bigint "
         "as offset_in_seq from c order by doc_id"
     )
     return out

@@ -683,6 +683,97 @@ def benchmark_contamination(
                 .alias("contaminated")))
 
 
+def _bench_span_hashes(benchmark: DataFrame, *, bench_text_col: str,
+                       broadcast_benchmark: bool) -> DataFrame:
+    """Distinct 64-bit hashes of the benchmark's nonempty normalized
+    spans (newline-split) — the probe set both span ops join against."""
+    spans = (benchmark.select(
+        F.explode(F.split(F.col(bench_text_col), "\n")).alias("_s"))
+        .select(normalize_text(F.col("_s")).alias("_n"))
+        .filter(F.col("_n") != "")
+        .select(F.xxhash64("_n").alias("_h"))
+        .distinct())
+    return F.broadcast(spans) if broadcast_benchmark else spans
+
+
+def contaminated_spans(
+    df: DataFrame, benchmark: DataFrame, *, text_col: str = "text",
+    id_col: str = "doc_id", bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Span-level decontamination, the finding half (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4 —
+    exact-substring removal at sentence/paragraph granularity): one
+    row per (doc, span) whose normalized newline-split span appears
+    verbatim in the benchmark/eval set. Where
+    :func:`benchmark_contamination` flags WHOLE documents (drop), this
+    locates the contaminated spans so the pipeline can REDACT them and
+    keep the rest of the document — the stronger standard.
+
+    Scale shape: the doc side reduces to (id, span_idx, span_hash)
+    before the join — span text never shuffles; the benchmark reduces
+    to distinct span hashes, broadcast by default (an eval suite ≪
+    the corpus) with a hash-keyed shuffle fallback. Returns
+    (id_col, span_idx) ordered rows; blank spans can never match."""
+    bench = _bench_span_hashes(benchmark, bench_text_col=bench_text_col,
+                               broadcast_benchmark=broadcast_benchmark)
+    spans = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("span_idx", "_s"))
+        .select(id_col, "span_idx", normalize_text(F.col("_s")).alias("_n"))
+        .filter(F.col("_n") != "")
+        .select(id_col, "span_idx", F.xxhash64("_n").alias("_h")))
+    return spans.join(bench, "_h").select(id_col, "span_idx")
+
+
+def scrub_contaminated_spans(
+    df: DataFrame, benchmark: DataFrame, *, text_col: str = "text",
+    id_col: str = "doc_id", bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Span-level decontamination, the rewrite half: rebuild each
+    document WITHOUT the spans :func:`contaminated_spans` flags.
+    Returns (id, text_clean, n_spans_kept, n_spans_removed) — one row
+    per input doc; a fully-contaminated doc survives with
+    ``text_clean = ''`` (dropping it is the caller's policy call).
+
+    Matching is on normalized span content (lowercase, collapsed
+    whitespace) so formatting differences can't hide a leaked eval
+    answer, but the rebuilt text keeps the RAW surviving spans in
+    original order — redaction never rewrites what it keeps. Scale
+    shape: the one exchange is the per-doc regroup keyed on id; span
+    text crosses the wire exactly once (unavoidable — the output IS
+    text), the benchmark side is hash-only and broadcast by default."""
+    bench = _bench_span_hashes(benchmark, bench_text_col=bench_text_col,
+                               broadcast_benchmark=broadcast_benchmark)
+    norm = normalize_text(F.col("_s"))
+    spans = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("span_idx", "_s"))
+        .select(id_col, "span_idx", "_s",
+                F.when(norm == "", F.lit(None))
+                .otherwise(F.xxhash64(norm)).alias("_h")))
+    marked = (spans.join(bench.withColumn("_hit", F.lit(True)),
+                         "_h", "left")
+              .select(id_col, "span_idx", "_s",
+                      F.coalesce("_hit", F.lit(False)).alias("_contam")))
+    kept_struct = F.when(~F.col("_contam"),
+                         F.struct("span_idx", "_s"))
+    return (marked.groupBy(id_col)
+            .agg(F.sum(F.col("_contam").cast("long"))
+                 .alias("n_spans_removed"),
+                 F.sum((~F.col("_contam")).cast("long"))
+                 .alias("n_spans_kept"),
+                 F.array_sort(F.collect_list(kept_struct)).alias("_k"))
+            .select(id_col, "n_spans_removed", "n_spans_kept",
+                    F.coalesce(
+                        F.array_join(
+                            F.transform("_k", lambda x: x["_s"]), "\n"),
+                        F.lit("")).alias("text_clean")))
+
+
 # ------------------------------------------- corpus vocabulary stats
 def vocabulary_counts(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",

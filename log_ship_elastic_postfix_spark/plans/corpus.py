@@ -44,6 +44,14 @@ class CorpusCleanConfig:
     # frequent word 2-gram covers more than this character fraction,
     # or whose duplicate-line char fraction exceeds it
     repetition_max_frac: Optional[float] = None
+    # CCNet-style perplexity gate (None disables): drop docs whose
+    # unigram nll (nats/token, operators.perplexity) exceeds this —
+    # i.e. cut the 'tail' bucket. The model builds from
+    # perplexity_ref when given (a curated corpus, CCNet's Wikipedia
+    # role), else self-scores on the surviving corpus
+    perplexity_tail_max: Optional[float] = None
+    perplexity_ref: Optional[DataFrame] = None
+    perplexity_max_vocab: Optional[int] = None
     broadcast_shingles: bool = False          # small-corpus fast path
     # per-stage drop accounting (the corpus-paper stage_counts table).
     # True: every stage is eagerly checkpointed AND counted — one
@@ -121,5 +129,18 @@ def clean_corpus(df: DataFrame, cfg: CorpusCleanConfig) -> CleanResult:
         keep = ((rep["top_bigram_char_frac"] <= cfg.repetition_max_frac)
                 & (rep["dup_line_char_frac"] <= cfg.repetition_max_frac))
         cur = _ckpt(cur.filter(keep), "repetition", narrow=True)
+
+    if cfg.perplexity_tail_max is not None:
+        from ..operators import perplexity as ppl
+        model, unk = ppl.build_unigram_model(
+            cfg.perplexity_ref if cfg.perplexity_ref is not None
+            else cur,
+            text_col=text_c, max_vocab=cfg.perplexity_max_vocab)
+        scored = ppl.perplexity_scores(
+            cur, model, unk, text_col=text_c, id_col=id_c)
+        keep_ids = (scored
+                    .filter(F.col("nll") <= cfg.perplexity_tail_max)
+                    .select(id_c))
+        cur = _ckpt(cur.join(keep_ids, id_c), "perplexity")
 
     return CleanResult(docs=cur, stage_counts=counts)
