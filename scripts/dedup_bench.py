@@ -123,15 +123,53 @@ def main() -> None:
         minhash_k=64, minhash_bands=32,
         broadcast_shingles=False))
     clean_sec = time.monotonic() - t0
-    exp = {"input": n, "exact_dedup": n - n // 32,
-           "neardup": n - n // 32 - n // 16}
+    # exact congruence counts (valid for ANY n, not just multiples of
+    # 32): mutants are ids ≡ 1 (mod 16), copies ids ≡ 4 (mod 32)
+    n_mut = (n - 2) // 16 + 1 if n > 1 else 0
+    n_copy = (n - 5) // 32 + 1 if n > 4 else 0
+    exp = {"input": n, "exact_dedup": n - n_copy,
+           "neardup": n - n_copy - n_mut}
     got = {k: res.stage_counts.get(k) for k in exp}
     if got != exp:
         raise AssertionError(
             f"clean_corpus planted-structure mismatch: {got} != {exp}")
 
+    # benchmark decontamination at scale: the "benchmark" is the
+    # doc_id % 1000 == 7 slice of the corpus itself. With 8-grams the
+    # flagged set is EXACTLY that slice, in closed form: the planted
+    # mutant/copy relations never touch ids ≡ 7 (mod 1000) — both
+    # congruences are unsolvable mod 16/32 — and a spurious 8-gram
+    # collision between unrelated docs needs 8 consecutive token
+    # matches (p = 64⁻⁸ per offset pair, ≈1e-4 expected over the
+    # whole corpus). 5-grams would admit ~30 random collisions at
+    # 100k docs — gram order is part of the decontamination contract.
+    bench_slice = corpus.filter(F.col("doc_id") % 1000 == 7) \
+        .select("text")
+    t0 = time.monotonic()
+    decon = dedup.benchmark_contamination(corpus, bench_slice, n=8)
+    n_contam = decon.filter(F.col("contaminated")).count()
+    decon_sec = time.monotonic() - t0
+    if n_contam != (n + 992) // 1000:
+        raise AssertionError(
+            f"decontamination plant mismatch: {n_contam} flagged, "
+            f"expected {(n + 992) // 1000}")
+
+    # perplexity scoring at scale (self-model build + score)
+    from log_ship_elastic_postfix_spark.operators import perplexity as P
+
+    t0 = time.monotonic()
+    model, unk = P.build_unigram_model(corpus)
+    n_scored = P.perplexity_scores(corpus, model, unk).count()
+    ppl_sec = time.monotonic() - t0
+    assert n_scored == n
+
     print(json.dumps({
         "n_docs": n,
+        "decontaminate_sec": round(decon_sec, 2),
+        "decontaminate_docs_per_sec": round(n / decon_sec, 1),
+        "n_contaminated": n_contam,
+        "perplexity_sec": round(ppl_sec, 2),
+        "perplexity_docs_per_sec": round(n / ppl_sec, 1),
         "minhash_sec": round(minhash_sec, 2),
         "minhash_docs_per_sec": round(n / minhash_sec, 1),
         "n_neardup_pairs": n_pairs,
