@@ -834,6 +834,35 @@ def q_decontaminate_spans(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_weighted_mix(spark, sf_dir):
+    """Deterministic weighted corpus mixing (operators.mixing.
+    weighted_sample): per-language keep fractions as a pure function
+    of (lang, id) — an 8-hex md5-prefix threshold (16⁸ levels). The
+    weight grid covers both endpoints (1.0 and 0.0) plus a sub-percent
+    weight the 256-bucket split machinery couldn't represent; the
+    oracle restates every threshold as the same string inequality."""
+    from log_ship_elastic_postfix_spark.operators import mixing
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixing.weighted_sample(
+        d, {"en": 1.0, "de": 0.5, "fr": 0.004, "es": 0.0},
+        stratum_col="lang", default_frac=0.1)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_train_order(spark, sf_dir):
+    """Deterministic training-order shuffle (operators.mixing.
+    training_order): order by md5(seed:id), sharded by the key's
+    first byte — one exchange on shard, per-shard rank, no global
+    sort. The oracle restates the hex-byte arithmetic with strpos
+    so no engine-specific base conversion is involved."""
+    from log_ship_elastic_postfix_spark.operators import mixing
+
+    d = _t(spark, sf_dir, "documents")
+    return (mixing.training_order(d, seed="42", n_shards=16)
+            .orderBy("doc_id"))
+
+
 def q_perplexity_bucket(spark, sf_dir):
     """CCNet-style LM-perplexity quality buckets (operators.
     perplexity): a unigram add-one model is built FROM the corpus
@@ -1026,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
         "perplexity_bucket": q_perplexity_bucket,
+        "weighted_mix": q_weighted_mix,
+        "train_order": q_train_order,
         "stream_metrics": q_stream_metrics,
     }
 
@@ -1545,6 +1576,36 @@ def oracle_sql() -> dict[str, str]:
         "coalesce(string_agg(case when not contam then span end, "
         "chr(10) order by span_idx), '') as text_clean "
         "from f group by doc_id order by doc_id"
+    )
+    # mixing thresholds precomputed to 8-hex literals (floor(w·16⁸)),
+    # restated as the same lowercase-hex string inequality; endpoints
+    # (1.0 / 0.0) never reach the comparison on either side
+    t_de = format(int(0.5 * 16 ** 8), "08x")
+    t_fr = format(int(0.004 * 16 ** 8), "08x")
+    t_zh = format(int(0.1 * 16 ** 8), "08x")
+    out["weighted_mix"] = (
+        "with b as (select doc_id, lang, "
+        "substr(md5(lang || ':' || doc_id), 1, 8) as bk from documents) "
+        "select doc_id, lang from b where case "
+        "when lang = 'en' then true "
+        f"when lang = 'de' then bk < '{t_de}' "
+        f"when lang = 'fr' then bk < '{t_fr}' "
+        "when lang = 'es' then false "
+        f"else bk < '{t_zh}' end "
+        "order by doc_id"
+    )
+    # shard = first md5 byte mod 16, decoded with strpos arithmetic
+    # (no engine-specific hex→int builtin); position = 0-based rank
+    # within the shard by (key, id)
+    hv = "(strpos('0123456789abcdef', substr(k, {i}, 1)) - 1)"
+    out["train_order"] = (
+        "with t as (select doc_id, md5('42:' || doc_id) as k "
+        "from documents), "
+        f"s as (select doc_id, k, (({hv.format(i=1)} * 16 + "
+        f"{hv.format(i=2)}) % 16)::bigint as shard from t) "
+        "select doc_id, shard, (row_number() over (partition by shard "
+        "order by k, doc_id) - 1)::bigint as position from s "
+        "order by doc_id"
     )
     # unigram add-one model rebuilt in SQL; lpsum is an exact integer
     # sum of micro-nat log-probs (sum(bigint) is hugeint in DuckDB —

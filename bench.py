@@ -97,7 +97,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "typed_sink_projection", "url_canonical", "url_dedup",
              "line_dedup", "vocabulary", "gopher_quality",
              "repetition_stats", "pii_redact", "sample_split",
-             "decontaminate"]
+             "decontaminate", "decontaminate_spans",
+             "perplexity_bucket", "pack_sequences_bpe",
+             "weighted_mix", "train_order"]
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in names:

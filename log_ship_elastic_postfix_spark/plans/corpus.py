@@ -52,6 +52,13 @@ class CorpusCleanConfig:
     perplexity_tail_max: Optional[float] = None
     perplexity_ref: Optional[DataFrame] = None
     perplexity_max_vocab: Optional[int] = None
+    # benchmark decontamination (None disables). mode='scrub' removes
+    # contaminated SPANS and keeps the doc (Lee et al.; the default);
+    # mode='drop' removes any doc sharing a distinct word n-gram with
+    # the benchmark (GPT-3/RefinedWeb rule)
+    decontaminate_benchmark: Optional[DataFrame] = None
+    decontaminate_mode: str = "scrub"
+    decontaminate_ngram: int = 8
     broadcast_shingles: bool = False          # small-corpus fast path
     # per-stage drop accounting (the corpus-paper stage_counts table).
     # True: every stage is eagerly checkpointed AND counted — one
@@ -118,6 +125,29 @@ def clean_corpus(df: DataFrame, cfg: CorpusCleanConfig) -> CleanResult:
         losers = (labels.filter(F.col("id") != F.col("cluster_id"))
                   .select(F.col("id").alias(id_c)))
         cur = _ckpt(cur.join(losers, id_c, "left_anti"), "neardup")
+
+    if cfg.decontaminate_benchmark is not None:
+        # before the quality gates: a scrubbed doc must pass or fail
+        # quality on the text a trainer would actually see
+        if cfg.decontaminate_mode == "drop":
+            flags = dedup.benchmark_contamination(
+                cur, cfg.decontaminate_benchmark, text_col=text_c,
+                id_col=id_c, n=cfg.decontaminate_ngram)
+            keep = (flags.filter(~F.col("contaminated"))
+                    .select(id_c))
+            cur = _ckpt(cur.join(keep, id_c), "decontaminate")
+        else:
+            scrubbed = dedup.scrub_contaminated_spans(
+                cur, cfg.decontaminate_benchmark,
+                text_col=text_c, id_col=id_c)
+            passengers = [c for c in cur.columns
+                          if c not in (id_c, text_c)]
+            rebuilt = scrubbed.select(
+                id_c, F.col("text_clean").alias(text_c))
+            if passengers:
+                rebuilt = rebuilt.join(
+                    cur.select(id_c, *passengers), id_c)
+            cur = _ckpt(rebuilt, "decontaminate")
 
     if cfg.quality_min_words is not None:
         flags = textstats.gopher_quality_flags(

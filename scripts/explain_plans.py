@@ -108,6 +108,26 @@ def main() -> None:
             "url dedup (single exchange on canonical_url, "
             "partial+final min-struct agg)",
             uu.dedup_by_canonical_url(urls_small, url_col="url")))
+        # round-5 additions
+        from log_ship_elastic_postfix_spark.operators import (
+            packing as pk, perplexity as pp)
+        from log_ship_elastic_postfix_spark.functions import textstats
+        bench_small = spark.createDataFrame(
+            [("alpha beta gamma",)], ["text"])
+        sections.append((
+            "span decontamination scrub (bench hashes broadcast, "
+            "id-keyed regroup; span text is payload, never a key)",
+            dd.scrub_contaminated_spans(docs_small, bench_small)))
+        model, unk = pp.build_unigram_model(docs_small)
+        sections.append((
+            "perplexity scoring (token exchange for the model build, "
+            "broadcast model join, id-keyed score agg)",
+            pp.perplexity_scores(docs_small, model, unk)))
+        sections.append((
+            "sequence packing, BPE budget (single shard exchange, "
+            "per-shard window cumsum — no global window)",
+            pk.pack_documents(docs_small, budget=64, n_shards=8,
+                              token_counter=textstats.bpe_ish_token_count)))
     finally:
         _DF.localCheckpoint = orig_ckpt
 

@@ -268,3 +268,78 @@ def test_clean_corpus_composed_plan_no_cartesian(spark, docs_df,
     assert len(plans) >= 4, "spy must capture the stage checkpoints"
     for p in plans:
         _assert_lsh_plan_shape(p)
+
+
+# ------------------------- round-5 gates: perplexity, spans, packing
+def test_perplexity_plan_broadcast_model_no_cartesian(spark, docs_df):
+    """Perplexity scoring: the model join must be a BroadcastHashJoin
+    on token (a sort-merge there would shuffle every exploded token
+    against the vocabulary); exchanges key on token (model build) or
+    doc_id (score regroup) — never on text."""
+    from log_ship_elastic_postfix_spark.operators import perplexity as P
+    model, unk = P.build_unigram_model(docs_df)
+    out = P.perplexity_scores(docs_df, model, unk)
+    plan = _plan(out)
+    for bad in _FORBIDDEN_JOINS:
+        assert bad not in plan, plan
+    assert "BroadcastHashJoin [token" in plan, plan
+    for ln in _exchange_lines(plan):
+        assert "text#" not in ln, ln
+        assert "token#" in ln or "doc_id#" in ln, ln
+
+
+def test_scrub_spans_plan_broadcast_bench_id_keyed(spark, docs_df):
+    """Span scrubbing: the benchmark probe set must broadcast (it is
+    an eval suite, ≪ corpus) and the only hash exchanges key on
+    doc_id (the regroup) or the bench-side hash dedup — raw span/text
+    columns are never shuffle KEYS (span text crosses the wire once
+    as payload of the id-keyed regroup; that is the operator's
+    documented, unavoidable cost)."""
+    from log_ship_elastic_postfix_spark.operators import dedup
+    bench = spark.createDataFrame([("lorem ipsum",)], ["text"])
+    out = dedup.scrub_contaminated_spans(docs_df, bench)
+    plan = _plan(out)
+    for bad in _FORBIDDEN_JOINS:
+        assert bad not in plan, plan
+    assert "BroadcastHashJoin [_h" in plan, plan
+    for ln in _exchange_lines(plan):
+        assert "text#" not in ln and "_s#" not in ln, ln
+        assert "doc_id#" in ln or "_h#" in ln or "_n#" in ln, ln
+
+
+def test_pack_bpe_plan_single_shard_exchange(spark, docs_df):
+    """Packing under the BPE-ish counter keeps the scale shape: one
+    exchange, keyed on shard — the pluggable token counter must not
+    introduce a global window or extra shuffle."""
+    from log_ship_elastic_postfix_spark.functions import textstats
+    from log_ship_elastic_postfix_spark.operators import packing
+    out = packing.pack_documents(
+        docs_df, budget=64, n_shards=8,
+        token_counter=textstats.bpe_ish_token_count)
+    plan = _plan(out)
+    ex = _exchange_lines(plan)
+    assert len(ex) == 1 and "shard" in ex[0], plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_weighted_sample_plan_fully_narrow(spark, docs_df):
+    """Weighted mixing is a pure filter: no exchange — it runs at
+    scan speed, pipelined into whatever follows."""
+    from log_ship_elastic_postfix_spark.operators import mixing
+    out = mixing.weighted_sample(
+        docs_df.withColumn("lang", F.lit("en")),
+        {"en": 0.5}, stratum_col="lang")
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_training_order_plan_single_shard_exchange(spark, docs_df):
+    """The shuffle-order op must not plan a global sort: one exchange
+    keyed on shard, per-shard window only."""
+    from log_ship_elastic_postfix_spark.operators import mixing
+    out = mixing.training_order(docs_df, seed="7", n_shards=8)
+    plan = _plan(out)
+    ex = _exchange_lines(plan)
+    assert len(ex) == 1 and "shard" in ex[0], plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

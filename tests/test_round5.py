@@ -179,6 +179,55 @@ def test_pack_documents_string_ids(spark):
         by_shard[r["shard"]].append(s + r["n_tokens"])
 
 
+# ----------------------------- corpus mixing (weights + order)
+def test_weighted_sample_rule_independent_restatement(spark):
+    """Keep-decision equals an independent Python md5 restatement of
+    the published rule for every (stratum, id), including both
+    endpoints and a sub-percent weight."""
+    from log_ship_elastic_postfix_spark.operators import mixing
+
+    weights = {"a": 1.0, "b": 0.5, "c": 0.004, "d": 0.0}
+    rows = [(i, "abcde"[i % 5]) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    kept = {r["doc_id"] for r in mixing.weighted_sample(
+        df, weights, stratum_col="stratum", default_frac=0.1).collect()}
+
+    def want(i, s):
+        w = weights.get(s, 0.1)
+        k = int(w * 16 ** 8)
+        if k >= 16 ** 8:
+            return True
+        b = hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:8]
+        return int(b, 16) < k
+
+    expect = {i for i, s in rows if want(i, s)}
+    assert kept == expect
+    # endpoints: every 'a' kept, every 'd' dropped
+    assert all(i in kept for i, s in rows if s == "a")
+    assert all(i not in kept for i, s in rows if s == "d")
+
+
+def test_training_order_is_permutation_and_seed_sensitive(spark):
+    """Per-shard positions are a dense 0..n-1 rank; the whole output
+    is a permutation of the input ids; a different seed produces a
+    different order while the same seed is bit-stable."""
+    from log_ship_elastic_postfix_spark.operators import mixing
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = mixing.training_order(df, seed="1", n_shards=8).collect()
+    assert {r["doc_id"] for r in a} == set(range(300))
+    by_shard: dict = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(len(pos))), shard
+
+    a2 = mixing.training_order(df, seed="1", n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, a2))
+    b = mixing.training_order(df, seed="2", n_shards=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, b))
+
+
 # --------------------------- perplexity filter (CCNet-style)
 def test_unigram_model_closed_form(spark):
     """Tiny corpus, hand-computed add-one model and doc scores."""
@@ -253,6 +302,38 @@ def test_clean_corpus_perplexity_stage(spark):
     kept = {r["doc_id"] for r in res.docs.collect()}
     assert 99 not in kept and kept == set(range(8))
     assert res.stage_counts["perplexity"] == 8
+
+
+def test_clean_corpus_decontaminate_stage(spark):
+    """The clean_corpus decontamination stage in both modes: 'scrub'
+    removes only the planted span and keeps the doc; 'drop' removes
+    the whole doc; passenger columns survive the scrub rebuild."""
+    from log_ship_elastic_postfix_spark.plans import corpus as C
+
+    rows = [(i, f"unique body {i} with words\nshared leaked answer"
+             if i % 3 == 0 else f"unique body {i} with words",
+             f"u{i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    bench = spark.createDataFrame(
+        [("Shared  LEAKED answer",)], "text string")
+
+    base = dict(exact_dedup=False, neardup_threshold=None,
+                quality_min_words=None)
+    scrub = C.clean_corpus(df, C.CorpusCleanConfig(
+        decontaminate_benchmark=bench, **base))
+    got = {r["doc_id"]: r for r in scrub.docs.collect()}
+    assert len(got) == 9
+    assert got[3]["text"] == "unique body 3 with words"
+    assert got[4]["text"] == "unique body 4 with words"
+    assert got[3]["url"] == "u3"          # passengers rejoined
+    assert scrub.stage_counts["decontaminate"] == 9
+
+    drop = C.clean_corpus(df, C.CorpusCleanConfig(
+        decontaminate_benchmark=bench, decontaminate_mode="drop",
+        decontaminate_ngram=3, **base))
+    kept = {r["doc_id"] for r in drop.docs.collect()}
+    assert kept == {i for i in range(9) if i % 3 != 0}
+    assert drop.stage_counts["decontaminate"] == 6
 
 
 # ---------------------- span-level decontamination (Lee et al.)
