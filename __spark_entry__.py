@@ -997,6 +997,72 @@ def q_stream_metrics(spark, sf_dir):
             .orderBy("window_start", "lang"))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Feature-hashed linear quality classifier (functions/
+    classifier.py) over documents: md5-bucket weights in integer
+    micro-units, keep ⇔ mean token weight ≥ 0. The oracle rebuilds the
+    hash→weight rule with strpos hex arithmetic — exact BIGINT both
+    engines."""
+    from log_ship_elastic_postfix_spark.functions import classifier
+
+    d = _t(spark, sf_dir, "documents")
+    return (classifier.classifier_score(d)
+            .select("doc_id", "n_tokens", "score_micro", "keep")
+            .orderBy("doc_id"))
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-registered-domain document cap (operators/domains.py) over
+    deterministic skewed urls: domain index least(doc_id % 10, 3)
+    gives three light domains (~10 % each) and one heavy (~70 %);
+    cap 60 exercises both the bypass and the two-phase ranked path at
+    sf0.01. Keepers ranked by (n_chars desc, doc_id) — the keep-the-
+    longest-docs policy."""
+    from log_ship_elastic_postfix_spark.operators import domains
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id", "n_chars",
+        F.format_string(
+            "https://www.site%d.com/p/%d",
+            F.least(F.col("doc_id") % 10, F.lit(3)).cast("int"),
+            F.col("doc_id").cast("int")).alias("url"))
+    # rank by length desc via a negated pre-computed order column
+    pages = pages.withColumn("neg_chars", -F.col("n_chars"))
+    capped = domains.domain_cap(
+        pages, cap=60, order_col="neg_chars", id_col="doc_id",
+        url_col="url", n_salts=4)
+    return (capped.select("doc_id", "domain", "capped")
+            .orderBy("doc_id"))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.semantic_dedup): cluster-scoped
+    cosine dedup over the embeddings table + the embedding_neardup
+    planted copies (verbatim at +100000 → cosine 1.0, last-dim-zeroed
+    at +100000 for 20≤id<40 → ≈0.97-0.9999; real-pair max ≈0.51, so
+    threshold 0.95 has wide FP margins). Centroids are the first 8
+    corpus vectors — deterministic, restated verbatim by the oracle;
+    both engines round cosines to 6 decimals and break argmax ties to
+    the lowest centroid id."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = (e.filter(F.col("vec_id") < 40)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.when(F.col("vec_id") < 20, F.col("embedding"))
+                       .otherwise(F.transform(
+                           F.col("embedding"),
+                           lambda x, i: F.when(i == 63, x * 0.0)
+                           .otherwise(x)))
+                       .alias("embedding")))
+    un = e.unionByName(planted)
+    cents = [(r["vec_id"], r["embedding"])
+             for r in e.filter(F.col("vec_id") < 8)
+             .orderBy("vec_id").collect()]
+    return (similarity.semantic_dedup(un, centroids=cents, threshold=0.95)
+            .orderBy("vec_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full parse→assemble→enrich→route pipeline over the
     deterministic synthetic pages corpus (oracle-checked end-to-end via
@@ -1057,6 +1123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bucket": q_perplexity_bucket,
         "weighted_mix": q_weighted_mix,
         "train_order": q_train_order,
+        "quality_classifier": q_quality_classifier,
+        "domain_cap": q_domain_cap,
+        "semantic_dedup": q_semantic_dedup,
         "stream_metrics": q_stream_metrics,
     }
 
@@ -1659,5 +1728,71 @@ def oracle_sql() -> dict[str, str]:
         "select doc_id, shard::bigint as shard, n_tokens, "
         "(s // 512)::bigint as seq_id, (s % 512)::bigint "
         "as offset_in_seq from c order by doc_id"
+    )
+    # hashed-linear-classifier rule rebuilt with strpos hex
+    # arithmetic: weight = value of the first 4 md5 hex chars − 32768
+    # micro-units; keep ⇔ integer score ≥ 0 (threshold 0, bias 0)
+    hv4 = ("((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
+           "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + "
+           "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + "
+           "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1))")
+    out["quality_classifier"] = (
+        "with toks as (select doc_id, unnest(list_filter("
+        "string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')) "
+        "as token from documents), "
+        "w as (select doc_id, md5(token) as h from toks), "
+        f"v as (select doc_id, ({hv4} - 32768)::bigint as wt from w), "
+        "sc as (select doc_id, count(*)::bigint as n_tokens, "
+        "sum(wt)::bigint as s from v group by doc_id) "
+        "select d.doc_id, coalesce(sc.n_tokens, 0)::bigint as n_tokens, "
+        "coalesce(sc.s, 0)::bigint as score_micro, "
+        "coalesce(sc.s, 0) >= 0 as keep "
+        "from documents d left join sc using (doc_id) order by doc_id"
+    )
+    # per-domain cap restated as a plain ranked window: keepers are
+    # row_number ≤ 60 by (n_chars desc, doc_id); capped ⇔ the domain
+    # held more than 60 docs
+    out["domain_cap"] = (
+        "with p as (select doc_id, n_chars, 'site' || "
+        "least(doc_id % 10, 3) || '.com' as domain from documents), "
+        "r as (select *, row_number() over (partition by domain "
+        "order by n_chars desc, doc_id) as rn, "
+        "count(*) over (partition by domain) as dn from p) "
+        "select doc_id, domain, (dn > 60) as capped from r "
+        "where rn <= 60 order by doc_id"
+    )
+    # SemDeDup restated: nearest-centroid assignment (cosine rounded
+    # to 6, ties to lowest cid) over the first-8-vector centroids,
+    # then min-id-wins within each cell at threshold 0.95
+    out["semantic_dedup"] = (
+        "with base as (select vec_id, embedding::double[] as v "
+        "from embeddings), "
+        "plant as (select vec_id + 100000 as vec_id, "
+        "case when vec_id < 20 then v else list_transform(v, "
+        "(x, i) -> case when i = 64 then x * 0.0 else x end) end as v "
+        "from base where vec_id < 40), "
+        "u as (select * from base union all select * from plant), "
+        "cents as (select vec_id as cid, v as cvec from base "
+        "where vec_id < 8), "
+        "sims as (select u.vec_id, c.cid, "
+        "round(list_dot_product(u.v, c.cvec) / "
+        "(sqrt(list_dot_product(u.v, u.v)) * "
+        "sqrt(list_dot_product(c.cvec, c.cvec))), 6) as s "
+        "from u cross join cents c), "
+        "cell as (select vec_id, cid as cell from (select *, "
+        "row_number() over (partition by vec_id "
+        "order by s desc, cid asc) as rn from sims) where rn = 1), "
+        "j as (select a.vec_id as id_a, b.vec_id as id_b from "
+        "(select u.vec_id, u.v, cell.cell from u join cell using "
+        "(vec_id)) a join (select u.vec_id, u.v, cell.cell from u "
+        "join cell using (vec_id)) b on a.cell = b.cell and "
+        "a.vec_id < b.vec_id and "
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95), "
+        "dr as (select distinct id_b from j) "
+        "select cell.vec_id, cell.cell, "
+        "(dr.id_b is not null) as dropped from cell "
+        "left join dr on cell.vec_id = dr.id_b order by cell.vec_id"
     )
     return out

@@ -99,7 +99,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "repetition_stats", "pii_redact", "sample_split",
              "decontaminate", "decontaminate_spans",
              "perplexity_bucket", "pack_sequences_bpe",
-             "weighted_mix", "train_order"]
+             "weighted_mix", "train_order", "quality_classifier",
+             "domain_cap", "semantic_dedup"]
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in names:

@@ -343,3 +343,49 @@ def test_training_order_plan_single_shard_exchange(spark, docs_df):
     assert len(ex) == 1 and "shard" in ex[0], plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_classifier_default_plan_fully_narrow(spark, docs_df):
+    """The default hashed-linear-classifier path is a pure projection
+    (transform + aggregate over the token array): NO exchange — at
+    100 TB it runs at scan speed like redaction/split."""
+    from log_ship_elastic_postfix_spark.functions import classifier
+    out = classifier.classifier_score(docs_df)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_domain_cap_plan_domain_keyed_no_cartesian(spark):
+    """Per-domain cap: no cartesian/nested-loop join, the over-cap
+    list joins as a BroadcastHashJoin, and every hash exchange keys on
+    the domain (+salt) or is the count partial-agg — raw urls/ids are
+    never shuffle keys on the bypass path."""
+    from log_ship_elastic_postfix_spark.operators import domains
+    df = spark.createDataFrame(
+        [(i, f"https://www.site{i % 3}.com/p/{i}", i % 50)
+         for i in range(90)], ["doc_id", "url", "quality"])
+    out = domains.domain_cap(df, cap=5, order_col="quality",
+                             id_col="doc_id")
+    plan = _plan(out)
+    for bad in _FORBIDDEN_JOINS:
+        assert bad not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in _exchange_lines(plan):
+        assert "domain#" in ln or "_salt#" in ln, ln
+
+
+def test_semantic_dedup_plan_narrow_assign_cell_keyed(spark, vecs_df):
+    """SemDeDup: centroid assignment is a zero-exchange narrow
+    projection (Catalyst literals, no Python); the pairwise stage's
+    exchanges key on the cell or the id — never on a raw vector."""
+    from log_ship_elastic_postfix_spark.operators import similarity
+    cents = [(0, [1.0] * 16), (1, [1.0] * 8 + [-1.0] * 8)]
+    # assignment-only projection: must be exchange-free
+    df = vecs_df
+    full = similarity.semantic_dedup(df, centroids=cents, threshold=0.9)
+    plan = _plan(full)
+    for bad in _FORBIDDEN_JOINS:
+        assert bad not in plan, plan
+    import re
+    for ln in _exchange_lines(plan):
+        assert re.search(r"(^|[\s(,\[])(cell#|vec_id#|_id[ab]#)", ln), ln
