@@ -1063,6 +1063,32 @@ def q_semantic_dedup(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-context-window chunking with overlap (operators/
+    packing.chunk_documents): window 32, stride 16 over documents —
+    long docs fan out into overlapping token windows, pure Catalyst.
+    The oracle restates the slice rule with range/list_slice."""
+    from log_ship_elastic_postfix_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return (packing.chunk_documents(d, window=32, stride=16)
+            .orderBy("doc_id", "chunk_id"))
+
+
+def q_cross_source_dups(spark, sf_dir):
+    """Cross-source duplication audit (operators/dedup.
+    cross_source_duplication) over documents + 50 planted copies
+    under a 'planted' source: per source pair, exact-dup pairs
+    spanning it (the pre-mixing overlap matrix)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = (d.filter(F.col("doc_id") < 50)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       "text", F.lit("planted").alias("source")))
+    un = d.unionByName(planted)
+    return (dedup.cross_source_duplication(un)
+            .orderBy("source_a", "source_b"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full parse→assemble→enrich→route pipeline over the
     deterministic synthetic pages corpus (oracle-checked end-to-end via
@@ -1126,6 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "domain_cap": q_domain_cap,
         "semantic_dedup": q_semantic_dedup,
+        "chunk_documents": q_chunk_documents,
+        "cross_source_dups": q_cross_source_dups,
         "stream_metrics": q_stream_metrics,
     }
 
@@ -1794,5 +1822,42 @@ def oracle_sql() -> dict[str, str]:
         "select cell.vec_id, cell.cell, "
         "(dr.id_b is not null) as dropped from cell "
         "left join dr on cell.vec_id = dr.id_b order by cell.vec_id"
+    )
+    # sliding-window chunking restated: starts = range(0, n, stride);
+    # DuckDB list_slice bounds are inclusive, Spark slice is
+    # (start, length) — both clamp at the array end
+    out["chunk_documents"] = (
+        "with t as (select doc_id, list_filter(string_split_regex("
+        "trim(text), '\\s+'), x -> x != '') as toks from documents), "
+        "n as (select doc_id, toks, len(toks) as n from t "
+        "where len(toks) > 0), "
+        "s as (select doc_id, toks, n, unnest(range(0, n, 16)) "
+        "as start from n) "
+        "select doc_id, (start // 16)::bigint as chunk_id, "
+        "start::bigint as start_token, "
+        "least(32, n - start)::bigint as n_chunk_tokens, "
+        "array_to_string(list_slice(toks, start + 1, "
+        "least(start + 32, n)), ' ') as chunk_text "
+        "from s order by doc_id, chunk_id"
+    )
+    # per-source-pair dup-pair counts from per-(content, source)
+    # group sizes: C(n,2) on the diagonal, n_a*n_b across — counted
+    # arithmetically, never enumerated
+    out["cross_source_dups"] = (
+        "with u as (select doc_id, text, source from documents "
+        "union all select doc_id + 100000, text, 'planted' "
+        "from documents where doc_id < 50), "
+        "t as (select source, trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')) as norm from u), "
+        "g as (select norm, source, count(*)::bigint as n from t "
+        "group by norm, source), "
+        "p as (select a.source as source_a, b.source as source_b, "
+        "(case when a.source = b.source then a.n * (a.n - 1) // 2 "
+        "else a.n * b.n end)::bigint as c "
+        "from g a join g b on a.norm = b.norm and "
+        "a.source <= b.source) "
+        "select source_a, source_b, sum(c)::bigint as dup_pairs "
+        "from p group by 1, 2 having sum(c) > 0 "
+        "order by source_a, source_b"
     )
     return out

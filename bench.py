@@ -100,7 +100,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "decontaminate", "decontaminate_spans",
              "perplexity_bucket", "pack_sequences_bpe",
              "weighted_mix", "train_order", "quality_classifier",
-             "domain_cap", "semantic_dedup"]
+             "domain_cap", "semantic_dedup", "chunk_documents",
+             "cross_source_dups"]
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in names:

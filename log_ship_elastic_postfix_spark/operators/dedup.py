@@ -794,3 +794,45 @@ def vocabulary_counts(
     return (counts.orderBy(F.col("n_occurrences").desc(),
                            F.col("token").asc())
             .limit(top_k))
+
+
+def cross_source_duplication(df: DataFrame, *, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             source_col: str = "source") -> DataFrame:
+    """Duplication audit across corpus sources: for every unordered
+    source pair, the number of exact-duplicate document pairs that
+    span it (diagonal rows = within-source pairs). The standard
+    pre-mixing report — "how much of source B is already in source A"
+    decides mixing weights and dedup order before any cross-source
+    union ships to training (and mirrors the reference's per-index
+    count parity checks, /root/reference/lib/logship.js:330-335, as a
+    per-source-pair matrix).
+
+    Content identity is :func:`normalize_text` + xxhash64 — the
+    :func:`exact_duplicates` rule. Scale shape: texts hash in a
+    narrow projection; the exchanges are (hash, source)-keyed partial
+    aggregation, a hash-keyed self-join of per-source COUNTS (not
+    rows), and the final tiny source-pair aggregation. Document
+    bodies never shuffle, and group size enters only as arithmetic —
+    a 10⁹-copy group is one count row, never a materialized pair
+    list (C(n,2) is computed, not enumerated).
+    """
+    h = F.xxhash64(normalize_text(F.col(text_col))).alias("content_hash")
+    per = (df.select(h, F.col(source_col).alias("source"))
+           .groupBy("content_hash", "source")
+           .agg(F.count(F.lit(1)).alias("n")))
+    a = per.select("content_hash", F.col("source").alias("source_a"),
+                   F.col("n").alias("n_a"))
+    b = per.select("content_hash", F.col("source").alias("source_b"),
+                   F.col("n").alias("n_b"))
+    pairs = (a.join(b, "content_hash")
+             .filter(F.col("source_a") <= F.col("source_b"))
+             .select(
+                 "source_a", "source_b",
+                 F.when(F.col("source_a") == F.col("source_b"),
+                        (F.col("n_a") * (F.col("n_a") - 1) / 2))
+                 .otherwise(F.col("n_a") * F.col("n_b"))
+                 .cast("long").alias("c")))
+    return (pairs.groupBy("source_a", "source_b")
+            .agg(F.sum("c").cast("long").alias("dup_pairs"))
+            .filter(F.col("dup_pairs") > 0))

@@ -94,3 +94,45 @@ def sequence_stats(packed: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"))
             .orderBy("shard", "seq_id"))
+
+
+def chunk_documents(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 128,
+                    stride: Optional[int] = None) -> DataFrame:
+    """Split long documents into fixed-token context windows — the
+    long-document counterpart of :func:`pack_documents` (packing
+    concatenates short docs up to the budget; chunking slices docs
+    that exceed it, with optional overlap so no span loses its left
+    context at a hard boundary).
+
+    Rule: whitespace tokens of the trimmed text (case and token order
+    preserved); chunk ``k`` covers tokens ``[k·stride, k·stride +
+    window)`` for every start strictly inside the document; the tail
+    chunk is shorter. ``stride`` defaults to ``window`` (disjoint);
+    ``stride < window`` overlaps. Zero-token docs yield no chunks.
+    Chunk text is whitespace-normalized (single spaces) — the
+    tokenizer-input form, not a byte-identical substring.
+
+    Scale shape: pure Catalyst, zero exchanges — sequence() builds
+    the start offsets, explode fans out, slice+array_join project the
+    chunk. Fan-out is rows × ceil(n/stride); no shuffle, no Python.
+    Output: (id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+    """
+    assert window > 0
+    stride = window if stride is None else stride
+    assert 0 < stride <= window, "stride must be in (0, window]"
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+    d = df.select(F.col(id_col), toks.alias("_toks"),
+                  F.size(toks).alias("_n")).filter(F.col("_n") > 0)
+    starts = F.sequence(
+        F.lit(0), F.col("_n") - 1, F.lit(stride))
+    d = d.select(id_col, "_toks", "_n",
+                 F.explode(starts).alias("start_token"))
+    chunk = F.slice(F.col("_toks"), F.col("start_token") + 1, window)
+    return d.select(
+        F.col(id_col),
+        (F.col("start_token") / stride).cast("long").alias("chunk_id"),
+        F.col("start_token").cast("long"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))

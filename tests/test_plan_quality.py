@@ -389,3 +389,27 @@ def test_semantic_dedup_plan_narrow_assign_cell_keyed(spark, vecs_df):
     import re
     for ln in _exchange_lines(plan):
         assert re.search(r"(^|[\s(,\[])(cell#|vec_id#|_id[ab]#)", ln), ln
+
+
+def test_chunk_documents_plan_fully_narrow(spark, docs_df):
+    """Chunking is sequence+explode+slice — NO exchange; it pipelines
+    into whatever consumes the chunks."""
+    from log_ship_elastic_postfix_spark.operators import packing
+    out = packing.chunk_documents(docs_df, window=8, stride=4)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_cross_source_dups_plan_hash_keyed(spark, docs_df):
+    """The audit's exchanges key on (content_hash, source) — document
+    text never shuffles, and no cartesian/nested-loop join appears."""
+    from log_ship_elastic_postfix_spark.operators import dedup
+    df = docs_df.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 3)))
+    out = dedup.cross_source_duplication(df)
+    plan = _plan(out)
+    for bad in _FORBIDDEN_JOINS:
+        assert bad not in plan, plan
+    for ln in _exchange_lines(plan):
+        assert "text#" not in ln, ln
+        assert "content_hash#" in ln or "source" in ln, ln

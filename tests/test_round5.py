@@ -546,3 +546,56 @@ def test_semantic_dedup_tie_breaks_to_lowest_cid(spark):
     out = similarity.semantic_dedup(
         df, centroids=[(3, e1), (2, e0)], threshold=0.99).collect()
     assert out[0]["cell"] == 2 and not out[0]["dropped"]
+
+
+# ---------------------------------------------- context-window chunking
+def test_chunk_documents_closed_form(spark):
+    from log_ship_elastic_postfix_spark.operators import packing
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "one"), (3, "  ")],
+                               ["doc_id", "text"])
+    out = sorted(
+        ((r["doc_id"], r["chunk_id"], r["start_token"],
+          r["n_chunk_tokens"], r["chunk_text"])
+         for r in packing.chunk_documents(
+             df, window=8, stride=4).collect()))
+    # doc1 starts 0,4,8: [t0..t7], [t4..t9](6), [t8..t9](2); doc2 one
+    # chunk; doc3 (whitespace only) none
+    assert out == [
+        (1, 0, 0, 8, " ".join(f"t{i}" for i in range(8))),
+        (1, 1, 4, 6, " ".join(f"t{i}" for i in range(4, 10))),
+        (1, 2, 8, 2, "t8 t9"),
+        (2, 0, 0, 1, "one"),
+    ]
+
+
+def test_chunk_documents_disjoint_cover_every_token(spark):
+    """stride == window: chunks partition the token stream exactly."""
+    from log_ship_elastic_postfix_spark.operators import packing
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 13) % 40 + 1)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = packing.chunk_documents(df, window=7).collect()
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        n = len(text.split())
+        chunks = sorted(per_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert sum(r["n_chunk_tokens"] for r in chunks) == n
+        assert " ".join(r["chunk_text"] for r in chunks) == text
+
+
+# ------------------------------------------- cross-source dup audit
+def test_cross_source_duplication_closed_form(spark):
+    from log_ship_elastic_postfix_spark.operators import dedup
+    rows = [
+        (1, "same text", "a"), (2, "same  TEXT ", "a"),  # a-a pair
+        (3, "same text", "b"),                           # spans a-b ×2
+        (4, "other", "a"), (5, "other", "c"),            # a-c pair
+        (6, "unique", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {(r["source_a"], r["source_b"]): r["dup_pairs"]
+           for r in dedup.cross_source_duplication(df).collect()}
+    assert got == {("a", "a"): 1, ("a", "b"): 2, ("a", "c"): 1}
