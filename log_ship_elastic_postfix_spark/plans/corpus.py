@@ -2,9 +2,11 @@
 pipeline actually runs, chaining this repo's operators in the standard
 order:
 
-    url dedup → boilerplate line dedup → exact dedup
+    url dedup → per-domain cap → boilerplate line dedup → exact dedup
       → MinHash near-dup clustering (keep cluster minimum)
-      → Gopher quality filter
+      → benchmark decontamination → Gopher quality filter
+      → repetition gate → hashed-linear classifier gate
+      → perplexity gate
 
 Each stage is optional via config; the result carries the surviving
 docs plus per-stage row counts (the drop-accounting every corpus paper
@@ -59,6 +61,20 @@ class CorpusCleanConfig:
     decontaminate_benchmark: Optional[DataFrame] = None
     decontaminate_mode: str = "scrub"
     decontaminate_ngram: int = 8
+    # per-registered-domain document cap (None disables; needs
+    # url_col): one mega-site must not dominate the mix — runs right
+    # after url dedup, ranked by (id) unless domain_cap_order names a
+    # column (e.g. a quality score to keep the best docs per domain)
+    domain_cap_n: Optional[int] = None
+    domain_cap_order: Optional[str] = None
+    # model-based quality gate (None disables): hashed-linear
+    # classifier keep rule, score >= threshold·n_tokens in integer
+    # micro-units (functions.classifier). Default weights are the
+    # md5-derived stand-in; classifier_weights injects a trained
+    # (bucket, weight) table
+    classifier_threshold_micro: Optional[int] = None
+    classifier_weights: Optional[DataFrame] = None
+    classifier_bias_micro: int = 0
     broadcast_shingles: bool = False          # small-corpus fast path
     # per-stage drop accounting (the corpus-paper stage_counts table).
     # True: every stage is eagerly checkpointed AND counted — one
@@ -98,6 +114,14 @@ def clean_corpus(df: DataFrame, cfg: CorpusCleanConfig) -> CleanResult:
     if cfg.url_col:
         kept = dedup_by_canonical_url(cur, url_col=cfg.url_col)
         cur = _ckpt(kept.drop("canonical_url", "n_dups"), "url_dedup")
+
+    if cfg.domain_cap_n is not None:
+        assert cfg.url_col, "domain_cap_n needs url_col"
+        from ..operators.domains import domain_cap
+        capped = domain_cap(cur, cap=cfg.domain_cap_n,
+                            url_col=cfg.url_col, id_col=id_c,
+                            order_col=cfg.domain_cap_order)
+        cur = _ckpt(capped.drop("domain", "capped"), "domain_cap")
 
     if cfg.line_dedup_min_docs:
         rebuilt = dedup.boilerplate_line_dedup(
@@ -159,6 +183,27 @@ def clean_corpus(df: DataFrame, cfg: CorpusCleanConfig) -> CleanResult:
         keep = ((rep["top_bigram_char_frac"] <= cfg.repetition_max_frac)
                 & (rep["dup_line_char_frac"] <= cfg.repetition_max_frac))
         cur = _ckpt(cur.filter(keep), "repetition", narrow=True)
+
+    if cfg.classifier_threshold_micro is not None:
+        from ..functions import classifier as clf
+        if cfg.classifier_weights is None:
+            # default weights: a pure narrow filter expression
+            toks = clf.tokens(F.col(text_c))
+            score = (F.aggregate(
+                F.transform(toks, clf.default_weight),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+                + F.lit(int(cfg.classifier_bias_micro)).cast("long"))
+            keep = (score >= F.lit(int(cfg.classifier_threshold_micro))
+                    .cast("long") * F.size(toks).cast("long"))
+            cur = _ckpt(cur.filter(keep), "classifier", narrow=True)
+        else:
+            scored = clf.classifier_score(
+                cur, text_col=text_c, id_col=id_c,
+                weights=cfg.classifier_weights,
+                bias_micro=cfg.classifier_bias_micro,
+                threshold_micro=cfg.classifier_threshold_micro)
+            keep_ids = scored.filter(F.col("keep")).select(id_c)
+            cur = _ckpt(cur.join(keep_ids, id_c), "classifier")
 
     if cfg.perplexity_tail_max is not None:
         from ..operators import perplexity as ppl

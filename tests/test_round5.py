@@ -599,3 +599,65 @@ def test_cross_source_duplication_closed_form(spark):
     got = {(r["source_a"], r["source_b"]): r["dup_pairs"]
            for r in dedup.cross_source_duplication(df).collect()}
     assert got == {("a", "a"): 1, ("a", "b"): 2, ("a", "c"): 1}
+
+
+# --------------------------- clean_corpus: classifier + domain-cap stages
+def test_clean_corpus_classifier_and_domain_cap_stages(spark):
+    """The composed chain runs the new gates with discriminating
+    counts: the domain cap truncates the heavy domain, the default
+    classifier gate drops exactly the docs whose independent Python
+    restatement scores below threshold."""
+    from log_ship_elastic_postfix_spark.plans import corpus
+
+    rows = []
+    for i in range(40):
+        dom = 0 if i % 4 == 0 else 1          # heavy domain 1 (30 docs)
+        rows.append((i, f"uniq{i} alpha beta word{i % 9} tail{i % 5}",
+                     f"https://www.site{dom}.com/p/{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    cfg = corpus.CorpusCleanConfig(
+        url_col="url", exact_dedup=False, neardup_threshold=None,
+        quality_min_words=None, domain_cap_n=12,
+        classifier_threshold_micro=0)
+    res = corpus.clean_corpus(df, cfg)
+    got = sorted(r["doc_id"] for r in res.docs.collect())
+
+    # expected: domain 0 (10 docs) passes; domain 1 keeps lowest 12
+    # ids (no order col -> id order); then classifier keep rule
+    import collections
+    doms = collections.defaultdict(list)
+    for i, text, url in rows:
+        doms["site0" if i % 4 == 0 else "site1"].append(i)
+    survivors = set(doms["site0"]) | set(sorted(doms["site1"])[:12])
+
+    def score(text):
+        return sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:4], 16) - 32768
+            for t in text.lower().split())
+
+    want = sorted(i for i, text, url in rows
+                  if i in survivors and score(text) >= 0)
+    assert got == want
+    assert res.stage_counts["domain_cap"] == len(survivors)
+    assert res.stage_counts["classifier"] == len(want)
+    # and the gate is discriminating: some survivor was dropped by it
+    assert res.stage_counts["classifier"] < len(survivors)
+
+
+def test_clean_corpus_classifier_weight_table_stage(spark):
+    """The injected-weights leg of the classifier stage: a hostile
+    weight table that nukes one token drops exactly the docs carrying
+    it."""
+    from log_ship_elastic_postfix_spark.plans import corpus
+
+    rows = [(1, "good text here"), (2, "bad words here"),
+            (3, "good stuff")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bucket_bad = int(hashlib.md5(b"bad").hexdigest()[:4], 16)
+    wtab = spark.createDataFrame([(bucket_bad, -1)], ["bucket", "weight"])
+    cfg = corpus.CorpusCleanConfig(
+        exact_dedup=False, neardup_threshold=None,
+        quality_min_words=None, classifier_threshold_micro=0,
+        classifier_weights=wtab)
+    res = corpus.clean_corpus(df, cfg)
+    assert sorted(r["doc_id"] for r in res.docs.collect()) == [1, 3]
