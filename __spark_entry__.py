@@ -730,13 +730,14 @@ def q_pipeline_reject_counts(spark, sf_dir):
     plants one prog-filtered spamd line and one envelope-miss garbage
     line per url; scenario 9 plants one qid-less scache statistics
     line (the reference's silent-drop path, lib/logship.js:107-111)."""
-    import shutil as _sh
     import tempfile as _tf
 
     pages = datagen.generate_pages(spark, 1000, n_hot=2, hot_lines=64)
     lines = with_batch_seq(pages_to_lines(pages), 1)
-    rej_path = os.path.join(_tf.gettempdir(), "entry_rejects_sink")
-    _sh.rmtree(rej_path, ignore_errors=True)
+    # per-run-unique dir: concurrent driver/verify runs must not
+    # share a rejects sink (same race class as the stream_metrics
+    # temp-path finding)
+    rej_path = os.path.join(_tf.mkdtemp(prefix="entry_rejects_"), "sink")
     run_batch(spark, lines, PipelineConfig(), rejects_path=rej_path)
     return (spark.read.parquet(rej_path)
             .groupBy("reject_reason")
@@ -1089,6 +1090,39 @@ def q_cross_source_dups(spark, sf_dir):
             .orderBy("source_a", "source_b"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup against committed state (operators/
+    dedup.incremental_exact_dedup): the batch (doc_id%7 != 0) is
+    deduped within itself (first-id-wins per content hash) AND
+    against the committed slice (doc_id%7 == 0) — the reference's
+    per-batch external-store id probe (lib/logship.js:259-312)
+    applied to webtext ingest. Hash is md5 of normalized text here so
+    the oracle restates it; production default is xxhash64 (8-byte
+    exchange). Exchanges carry only (hash, id); text never shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(dedup.normalize_text(F.col("text")))
+    committed = (d.filter(F.col("doc_id") % 7 == 0)
+                 .select(h.alias("content_hash")))
+    batch = d.filter(F.col("doc_id") % 7 != 0)
+    return (dedup.incremental_exact_dedup(batch, committed, hash_expr=h)
+            .orderBy("doc_id"))
+
+
+def q_corpus_report(spark, sf_dir):
+    """Corpus composition report (operators/report.corpus_report):
+    one ROLLUP over (source, lang) — per-cell, per-source, and grand
+    totals with exact integer measures only, group columns coalesced
+    to '(all)' plus the standard grouping_id bitmask so the report is
+    engine-identical (rollup NULL sort order never enters). The
+    dataset-card numbers, and the reference's per-index count parity
+    (lib/logship.js:330-335) as a composition matrix."""
+    from log_ship_elastic_postfix_spark.operators import report
+
+    d = _t(spark, sf_dir, "documents")
+    return (report.corpus_report(d)
+            .orderBy("grouping_id", "source", "lang"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full parse→assemble→enrich→route pipeline over the
     deterministic synthetic pages corpus (oracle-checked end-to-end via
@@ -1154,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "chunk_documents": q_chunk_documents,
         "cross_source_dups": q_cross_source_dups,
+        "incremental_dedup": q_incremental_dedup,
+        "corpus_report": q_corpus_report,
         "stream_metrics": q_stream_metrics,
     }
 
@@ -1859,5 +1895,34 @@ def oracle_sql() -> dict[str, str]:
         "select source_a, source_b, sum(c)::bigint as dup_pairs "
         "from p group by 1, 2 having sum(c) > 0 "
         "order by source_a, source_b"
+    )
+    # batch first-id-per-hash, anti-joined against the committed
+    # slice's distinct hashes — the external-store dedup probe
+    out["incremental_dedup"] = (
+        "with b as (select doc_id, md5(trim(regexp_replace("
+        "lower(text), '\\s+', ' ', 'g'))) as h from documents), "
+        "committed as (select distinct h from b where doc_id % 7 = 0), "
+        "firsts as (select h as content_hash, min(doc_id) as doc_id "
+        "from b where doc_id % 7 <> 0 group by h) "
+        "select doc_id, content_hash from firsts "
+        "where content_hash not in (select h from committed) "
+        "order by doc_id"
+    )
+    # ROLLUP composition matrix, group cols coalesced + grouping_id
+    # bitmask (standard SQL GROUPING()) so no NULL ever reaches the
+    # compare; integer measures only — no floating averages
+    out["corpus_report"] = (
+        "with base as (select source, lang, "
+        "case when trim(text) = '' then 0 else "
+        "len(regexp_split_to_array(trim(text), '\\s+')) end as tok, "
+        "octet_length(encode(text)) as bytes from documents) "
+        "select coalesce(source, '(all)') as source, "
+        "coalesce(lang, '(all)') as lang, "
+        "cast(grouping(source, lang) as bigint) as grouping_id, "
+        "count(*) as n_docs, sum(tok)::bigint as n_tokens, "
+        "sum(bytes)::bigint as n_bytes, max(tok) as max_doc_tokens, "
+        "min(tok) as min_doc_tokens "
+        "from base group by rollup (source, lang) "
+        "order by grouping_id, source, lang"
     )
     return out

@@ -836,3 +836,83 @@ def cross_source_duplication(df: DataFrame, *, text_col: str = "text",
     return (pairs.groupBy("source_a", "source_b")
             .agg(F.sum("c").cast("long").alias("dup_pairs"))
             .filter(F.col("dup_pairs") > 0))
+
+
+def incremental_exact_dedup(
+    batch: DataFrame, committed: "DataFrame | None", *,
+    text_col: str = "text", id_col: str = "doc_id",
+    hash_expr: "Column | None" = None,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against previously-committed corpus
+    state — the ingest-time analog of :func:`exact_duplicates`.
+
+    The reference never dedups against in-process history: every batch
+    probes the external store for already-committed ids and only the
+    novel remainder proceeds (/root/reference/lib/logship.js:259-312,
+    the ES ``terms _id`` lookup). Applied to webtext ingest the same
+    shape answers "which of today's crawl is already in the corpus?"
+    without ever rereading the corpus text: the committed side is a
+    hash-only table (:class:`HashState`), so a 10¹²-doc history costs
+    one 8-byte column.
+
+    Rule: content identity is ``hash_expr`` over the text column
+    (default ``xxhash64(normalize_text(text))`` — the
+    :func:`exact_duplicates` rule; pass ``F.md5(...)`` when an
+    external engine must restate the hash). A batch doc survives iff
+    it is the FIRST holder of its hash within the batch (min id —
+    deterministic) AND the hash is absent from ``committed``.
+
+    Scale shape: the batch reduces to (hash, min id) via partial+final
+    aggregation; the committed side joins hash-to-hash (left anti) —
+    text never shuffles on either side, and the exchanges carry only
+    the hash and one id. Broadcast is NOT forced: at web scale the
+    committed side is the big one, and a shuffled anti-join on the
+    8-byte key with AQE is the right default.
+
+    Returns (id_col, content_hash) — survivors; feed the same frame to
+    :meth:`HashState.append` to commit them.
+    """
+    h = (hash_expr if hash_expr is not None
+         else F.xxhash64(normalize_text(F.col(text_col))))
+    firsts = (batch.select(h.alias("content_hash"), F.col(id_col))
+              .groupBy("content_hash")
+              .agg(F.min(id_col).alias(id_col)))
+    if committed is not None:
+        firsts = firsts.join(
+            committed.select("content_hash").distinct(),
+            "content_hash", "left_anti")
+    return firsts.select(id_col, "content_hash")
+
+
+class HashState:
+    """Append-only parquet table of committed content hashes — the
+    dedup counterpart of ``operators.state.StateStore`` (docs) and
+    ``sources.bookmark.BookmarkStore`` (offsets).
+
+    One column, ``content_hash``; duplicate appends are harmless
+    (``read`` is consumed through DISTINCT in
+    :func:`incremental_exact_dedup`), so a replayed batch is
+    idempotent exactly like the reference's ``create``-on-conflict
+    bulk path (/root/reference/lib/logship.js:337-393). At production
+    scale the same layout is an Iceberg table bucketed by
+    ``pmod(content_hash, n_buckets)`` so the anti-join co-partitions
+    with a bucketed batch side; plain parquet append keeps the sandbox
+    path simple and the API identical.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def read(self, spark) -> "DataFrame | None":
+        """Committed hashes, or None when nothing has been appended
+        (first batch)."""
+        try:
+            return spark.read.parquet(self.path).select("content_hash")
+        except Exception:
+            return None
+
+    def append(self, survivors: DataFrame) -> None:
+        """Commit a batch's surviving hashes (any frame with a
+        ``content_hash`` column)."""
+        (survivors.select("content_hash")
+         .write.mode("append").parquet(self.path))

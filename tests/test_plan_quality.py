@@ -413,3 +413,40 @@ def test_cross_source_dups_plan_hash_keyed(spark, docs_df):
     for ln in _exchange_lines(plan):
         assert "text#" not in ln, ln
         assert "content_hash#" in ln or "source" in ln, ln
+
+
+def test_incremental_dedup_plan_hash_only_exchanges(spark, docs_df):
+    """Incremental dedup vs committed state: every exchange keys on
+    the content hash — document text must never shuffle (the state
+    probe at 10^12 docs moves 8-byte hashes plus one id, nothing
+    else), and the anti-join is a hash join, never nested-loop."""
+    from log_ship_elastic_postfix_spark.operators import dedup
+    committed = docs_df.limit(20).select(
+        F.xxhash64(dedup.normalize_text(F.col("text")))
+        .alias("content_hash"))
+    out = dedup.incremental_exact_dedup(docs_df, committed)
+    plan = _plan(out)
+    for bad in _FORBIDDEN_JOINS:
+        assert bad not in plan, plan
+    ex = _exchange_lines(plan)
+    assert ex, "expected at least the aggregation exchange"
+    for ln in ex:
+        assert "text#" not in ln, f"text as shuffle key: {ln}"
+        assert "content_hash#" in ln, ln
+
+
+def test_corpus_report_plan_single_aggregation(spark, docs_df):
+    """The composition report is one Expand + partial+final agg:
+    exchanges key on the (small) group tuple, and the doc text never
+    shuffles — the report costs one scan regardless of corpus size."""
+    from log_ship_elastic_postfix_spark.operators.report import (
+        corpus_report)
+    out = corpus_report(docs_df.withColumn("lang", F.lit("en"))
+                        .withColumn("source", F.lit("s1")))
+    plan = _plan(out)
+    assert "Expand" in plan, plan
+    ex = _exchange_lines(plan)
+    assert len(ex) == 1, plan
+    assert "text#" not in ex[0], ex[0]
+    for bad in _FORBIDDEN_JOINS:
+        assert bad not in plan, plan

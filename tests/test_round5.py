@@ -661,3 +661,84 @@ def test_clean_corpus_classifier_weight_table_stage(spark):
         classifier_weights=wtab)
     res = corpus.clean_corpus(df, cfg)
     assert sorted(r["doc_id"] for r in res.docs.collect()) == [1, 3]
+
+
+# ------------------------- incremental dedup vs committed HashState
+def test_incremental_dedup_two_batch_resume(spark, tmp_path):
+    """Batch 2 must drop docs whose content was committed by batch 1
+    (cross-batch), and first-id-wins within each batch."""
+    from log_ship_elastic_postfix_spark.operators.dedup import (
+        HashState, incremental_exact_dedup)
+
+    state = HashState(str(tmp_path / "hashes"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "Alpha   TEXT")],
+        "doc_id long, text string")
+    s1 = incremental_exact_dedup(b1, state.read(spark))
+    got1 = sorted(r["doc_id"] for r in s1.collect())
+    assert got1 == [1, 2]  # 3 normalizes to 1's content
+    state.append(s1)
+
+    b2 = spark.createDataFrame(
+        [(10, "beta text"),      # committed in batch 1 -> dropped
+         (11, "gamma text"),     # novel
+         (12, "gamma  text"),    # within-batch dup of 11
+         (13, "ALPHA text")],    # committed -> dropped
+        "doc_id long, text string")
+    s2 = incremental_exact_dedup(b2, state.read(spark))
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+    state.append(s2)
+
+    # replay idempotence: re-running batch 2 against the updated
+    # state yields nothing new (its own hashes are now committed),
+    # and double-append does not corrupt the store
+    s2r = incremental_exact_dedup(b2, state.read(spark))
+    assert s2r.count() == 0
+    state.append(s2)  # duplicate append
+    assert incremental_exact_dedup(b2, state.read(spark)).count() == 0
+
+
+def test_incremental_dedup_first_batch_no_state(spark):
+    from log_ship_elastic_postfix_spark.operators.dedup import (
+        incremental_exact_dedup)
+
+    b = spark.createDataFrame(
+        [(5, "x y"), (4, "x  y"), (6, "z")], "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in
+                 incremental_exact_dedup(b, None).collect())
+    assert got == [4, 6]  # min id wins the x-y group
+
+
+# ----------------------------------------- corpus composition report
+def test_corpus_report_rollup_invariants(spark):
+    """Grand total == sum of leaf cells; per-source subtotal == sum of
+    its (source, lang) cells; grouping_id identifies each level; no
+    NULL group values survive (coalesced to '(all)')."""
+    from log_ship_elastic_postfix_spark.operators.report import (
+        corpus_report)
+
+    rows = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, "d e", "en", "s1"),
+         (3, "f", "de", "s1"), (4, "g h i j", "de", "s2"),
+         (5, "", "en", "s2")],
+        "doc_id long, text string, lang string, source string")
+    out = {(r["source"], r["lang"]): r
+           for r in corpus_report(rows).collect()}
+    assert all(k[0] is not None and k[1] is not None for k in out)
+
+    leaf = {k: v for k, v in out.items()
+            if v["grouping_id"] == 0}
+    assert leaf[("s1", "en")]["n_docs"] == 2
+    assert leaf[("s1", "en")]["n_tokens"] == 5
+    assert leaf[("s2", "en")]["min_doc_tokens"] == 0
+
+    sub = out[("s1", "(all)")]
+    assert sub["grouping_id"] == 1  # lang rolled up
+    assert sub["n_docs"] == 3 and sub["n_tokens"] == 6
+
+    total = out[("(all)", "(all)")]
+    assert total["grouping_id"] == 3
+    assert total["n_docs"] == 5
+    assert total["n_tokens"] == sum(v["n_tokens"] for v in leaf.values())
+    assert total["n_bytes"] == sum(v["n_bytes"] for v in leaf.values())
+    assert total["max_doc_tokens"] == 4
