@@ -162,3 +162,107 @@ def test_windowed_metrics_append_emits_finalized_windows(spark, tmp_path):
                         "n_rows")).collect()}
     for r in emitted.collect():
         assert want[(r["window_start"], r["lang"])] == r["n_rows"]
+
+
+@pytest.mark.timeout(300)
+def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming crawl ingest: cross-batch duplicates never reach the
+    corpus; within-batch first-id-wins; manifests record kept/in."""
+    import os as _os
+    import shutil
+
+    from log_ship_elastic_postfix_spark.streaming.ingest import (
+        start_dedup_ingest_stream)
+
+    src = str(tmp_path / "src")
+    # two source files -> two micro-batches (maxFilesPerTrigger=1);
+    # file 2 repeats file 1's content under new ids
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha   TEXT")],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(src + "/f1")
+    spark.createDataFrame(
+        [(10, "beta text"), (11, "gamma text")],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src + "/f2")
+    # single top-level dir for the file source
+    flat = str(tmp_path / "flat")
+    _os.makedirs(flat, exist_ok=True)
+    for i, d in enumerate(("f1", "f2")):
+        for f in sorted(_os.listdir(src + "/" + d)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:03d}.parquet"
+                shutil.copy(f"{src}/{d}/{f}", dst)
+                # the file source orders by modification time — pin
+                # it so batch 0 is deterministically f1
+                _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    from log_ship_elastic_postfix_spark.sources.bookmark import (
+        BookmarkStore)
+    bm = BookmarkStore(str(tmp_path / "bm"))
+    q = start_dedup_ingest_stream(
+        spark, flat,
+        corpus_path=str(tmp_path / "corpus"),
+        hash_path=str(tmp_path / "hashes"),
+        bookmark=bm,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    kept = sorted(r["doc_id"] for r in corpus.collect())
+    # file order is lexicographic: batch0={1,2,3}, batch1={10,11};
+    # 3 dups 1 within-batch, 10 dups 2 cross-batch
+    assert kept == [1, 2, 11]
+    mans = [bm.read_manifest(b) for b in bm.processed_batches()]
+    assert sorted(m["n_in"] for m in mans) == [2, 3]
+    assert sorted(m["n_kept"] for m in mans) == [1, 2]
+
+
+@pytest.mark.timeout(300)
+def test_dedup_ingest_replay_windows_are_idempotent(spark, tmp_path):
+    """Drive DedupIngest.process directly through every crash window:
+    (a) full replay after bookmark commit is a no-op; (b) replay after
+    the hash append but BEFORE the bookmark commit reproduces the
+    identical corpus — the batch's own hashes must not anti-join its
+    replay to empty (the silent-loss window the batch-id exclusion
+    closes)."""
+    from log_ship_elastic_postfix_spark.sources.bookmark import (
+        BookmarkStore)
+    from log_ship_elastic_postfix_spark.streaming.ingest import (
+        DedupIngest)
+
+    bm = BookmarkStore(str(tmp_path / "bm"))
+    ing = DedupIngest(str(tmp_path / "corpus"),
+                      str(tmp_path / "hashes"), bm)
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    ing.process(b0, 0)
+
+    def corpus_ids():
+        return sorted(
+            r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect())
+
+    assert corpus_ids() == [1, 2]
+
+    # (a) committed batch replays as a no-op
+    ing.process(b0, 0)
+    assert corpus_ids() == [1, 2]
+    assert bm.processed_batches() == [0]
+
+    # (b) crash window: batch 1's hashes land but the bookmark commit
+    # is lost -> replay must regenerate the identical corpus dir
+    b1 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], "doc_id long, text string")
+    ing.process(b1, 1)
+    assert corpus_ids() == [1, 2, 11]
+    import os as _os
+    _os.remove(bm._manifest_path(1))  # simulate lost commit
+    assert not bm.is_processed(1)
+    ing.process(b1, 1)  # replay with its own hashes already present
+    assert corpus_ids() == [1, 2, 11]
+    # and the duplicate hash rows cannot affect a later batch
+    b2 = spark.createDataFrame(
+        [(20, "gamma"), (21, "delta")], "doc_id long, text string")
+    ing.process(b2, 2)
+    assert corpus_ids() == [1, 2, 11, 21]
