@@ -1,0 +1,106 @@
+"""Training-shard writer: materialize a cleaned corpus as the shard
+layout a distributed trainer's data loader consumes, with per-shard
+lineage manifests — the corpus-side mirror of the pipeline's
+per-batch bookmark manifests (``sources/bookmark.py``; the reference
+records per-batch counts the same way, /root/reference/lib/
+logship.js:330-335).
+
+Layout::
+
+    out_dir/
+      data/shard=<k>/part-*.parquet   rows sorted by position
+      _manifest/part-*.parquet        one row per shard
+
+Order contract: :func:`~.mixing.training_order` assigns (shard,
+position) — deterministic in (seed, id) — and each shard directory
+is written by exactly one task after a shard-keyed repartition +
+``sortWithinPartitions(position)``, so a sequential read of a shard's
+parquet IS the training order. The trainer interleaves shard streams
+round-robin (the standard distributed-loader contract); no global
+sort exists anywhere.
+
+Manifest row: (shard, n_docs, n_tokens, n_bytes, fingerprint) where
+``fingerprint = bit_xor(xxhash64(position || ':' || text))`` — an
+order-insensitive aggregate of order-SENSITIVE per-row terms (terms
+are pairwise distinct within a shard because positions are), so it
+certifies both content and each row's assigned position without a
+sequential scan, and cannot overflow under ANSI arithmetic the way a
+SUM of 64-bit hashes would. :func:`verify_shards` recomputes it from
+the written files.
+
+Scale shape: the order assignment is one shard-keyed exchange
+(inherited from ``training_order``); the text joins back once by id;
+the write is one task per shard (size ``n_shards`` so a shard fits a
+task, ≥ rows / 10M — same rule as packing). The manifest is a
+partial+final aggregation over (shard), bounded by n_shards rows.
+Writes are ``overwrite`` — replays regenerate byte-identical shards
+(idempotent resume, nothing appends).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textstats import token_count
+from .mixing import training_order
+
+
+def _with_order(df: DataFrame, *, id_col: str, seed: str,
+                n_shards: int) -> DataFrame:
+    order = training_order(df, id_col=id_col, seed=seed,
+                           n_shards=n_shards)
+    return df.join(order, id_col)
+
+
+def _manifest(docs: DataFrame, *, text_col: str) -> DataFrame:
+    term = F.xxhash64(F.concat(F.col("position").cast("string"),
+                               F.lit(":"), F.col(text_col)))
+    return (docs.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+                 F.sum(F.octet_length(F.col(text_col)).cast("long"))
+                 .alias("n_bytes"),
+                 F.bit_xor(term).alias("fingerprint")))
+
+
+def write_training_shards(df: DataFrame, out_dir: str, *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          seed: str = "0", n_shards: int = 64) -> dict:
+    """Write the shard layout + manifest; returns bounded totals
+    ``{"n_docs", "n_shards"}`` (driver metadata only — no row data
+    is ever collected)."""
+    docs = _with_order(df, id_col=id_col, seed=seed,
+                       n_shards=n_shards)
+    (docs.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "position")
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(os.path.join(out_dir, "data")))
+    written = docs.sparkSession.read.parquet(
+        os.path.join(out_dir, "data"))
+    man = _manifest(written, text_col=text_col)
+    man.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_manifest"))
+    totals = (man.agg(F.sum("n_docs").alias("n"),
+                      F.count(F.lit(1)).alias("s")).collect()[0])
+    return {"n_docs": totals["n"] or 0, "n_shards": totals["s"]}
+
+
+def verify_shards(spark: SparkSession, out_dir: str, *,
+                  text_col: str = "text") -> DataFrame:
+    """Recompute every shard's manifest row from the written files
+    and return shards whose (n_docs, n_tokens, n_bytes, fingerprint)
+    disagree — empty result = intact. The audit a loader runs before
+    trusting a corpus drop; one scan, no collect."""
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    man = spark.read.parquet(os.path.join(out_dir, "_manifest"))
+    got = _manifest(data, text_col=text_col)
+    cols = ["n_docs", "n_tokens", "n_bytes", "fingerprint"]
+    g = got.select("shard", *[F.col(c).alias(f"got_{c}") for c in cols])
+    # a shard present on only one side null-fills and is flagged too
+    return (man.join(g, "shard", "full")
+            .filter(" or ".join(
+                f"not coalesce({c} = got_{c}, false)" for c in cols)))

@@ -163,6 +163,37 @@ def main() -> None:
     ppl_sec = time.monotonic() - t0
     assert n_scored == n
 
+    # incremental dedup vs committed HashState at scale: commit the
+    # first half's hashes, probe the second half as a new crawl
+    # batch. Closed form: every planted copy doc (id ≡ 4 mod 32) in
+    # the batch is dropped — its verbatim base id-1 sits either in
+    # the batch (within-batch dup) or in the committed half
+    # (cross-state dup); mutants and originals are unique content —
+    # so kept = batch_size − #{i ∈ [h, n): i ≡ 4 (mod 32)}.
+    import shutil
+    import tempfile
+
+    half = n // 2
+    state_dir = tempfile.mkdtemp(prefix="dedup_bench_state_")
+    try:
+        state = dedup.HashState(os.path.join(state_dir, "hashes"))
+        committed = dedup.incremental_exact_dedup(
+            corpus.filter(F.col("doc_id") < half), None)
+        state.append(committed)
+        batch = corpus.filter(F.col("doc_id") >= half)
+        t0 = time.monotonic()
+        n_kept = dedup.incremental_exact_dedup(
+            batch, state.read(spark)).count()
+        inc_sec = time.monotonic() - t0
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    n_batch = n - half
+    n_copy_in_batch = sum(1 for i in range(half, n) if i % 32 == 4)
+    if n_kept != n_batch - n_copy_in_batch:
+        raise AssertionError(
+            f"incremental dedup plant mismatch: kept {n_kept}, "
+            f"expected {n_batch - n_copy_in_batch}")
+
     print(json.dumps({
         "n_docs": n,
         "decontaminate_sec": round(decon_sec, 2),
@@ -170,6 +201,9 @@ def main() -> None:
         "n_contaminated": n_contam,
         "perplexity_sec": round(ppl_sec, 2),
         "perplexity_docs_per_sec": round(n / ppl_sec, 1),
+        "incremental_dedup_sec": round(inc_sec, 2),
+        "incremental_dedup_docs_per_sec": round(n_batch / inc_sec, 1),
+        "incremental_kept": n_kept,
         "minhash_sec": round(minhash_sec, 2),
         "minhash_docs_per_sec": round(n / minhash_sec, 1),
         "n_neardup_pairs": n_pairs,

@@ -742,3 +742,77 @@ def test_corpus_report_rollup_invariants(spark):
     assert total["n_tokens"] == sum(v["n_tokens"] for v in leaf.values())
     assert total["n_bytes"] == sum(v["n_bytes"] for v in leaf.values())
     assert total["max_doc_tokens"] == 4
+
+
+# -------------------------------------- training-shard writer
+def _shard_docs(spark, n=120):
+    return spark.createDataFrame(
+        [(i, f"doc {i} body " + "tok " * (i % 7)) for i in range(n)],
+        "doc_id long, text string")
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Layout + manifest contract: ids round-trip, positions are
+    dense and the file read order IS the training order, the
+    manifest verifies, and a rewrite is byte-deterministic."""
+    from log_ship_elastic_postfix_spark.operators import shards
+
+    df = _shard_docs(spark)
+    out = str(tmp_path / "corpus_drop")
+    totals = shards.write_training_shards(df, out, seed="s1",
+                                          n_shards=8)
+    assert totals["n_docs"] == 120 and totals["n_shards"] == 8
+
+    data = spark.read.parquet(out + "/data")
+    assert sorted(r["doc_id"] for r in data.collect()) == list(range(120))
+    # dense per-shard positions
+    for r in (data.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("position").alias("lo"),
+                   F.max("position").alias("hi")).collect()):
+        assert (r["lo"], r["hi"]) == (0, r["n"] - 1), r
+    # sequential parquet read of one shard is already position-order
+    one = spark.read.parquet(out + "/data/shard=0")
+    pos = [r["position"] for r in one.collect()]
+    assert pos == sorted(pos)
+    # manifest audit passes
+    assert shards.verify_shards(spark, out).count() == 0
+    # determinism: a second drop produces identical manifests
+    out2 = str(tmp_path / "corpus_drop2")
+    shards.write_training_shards(df, out2, seed="s1", n_shards=8)
+    m1 = sorted(map(tuple, spark.read.parquet(out + "/_manifest")
+                    .collect()))
+    m2 = sorted(map(tuple, spark.read.parquet(out2 + "/_manifest")
+                    .collect()))
+    assert m1 == m2
+    # a different seed is a different permutation
+    out3 = str(tmp_path / "corpus_drop3")
+    shards.write_training_shards(df, out3, seed="s2", n_shards=8)
+    m3 = sorted(map(tuple, spark.read.parquet(out3 + "/_manifest")
+                    .collect()))
+    assert m3 != m1
+
+
+def test_verify_shards_flags_tampered_shard(spark, tmp_path):
+    """Corrupting one shard's text is caught by exactly that shard's
+    fingerprint (counts/bytes may also shift; no other shard may)."""
+    import shutil
+
+    from log_ship_elastic_postfix_spark.operators import shards
+
+    df = _shard_docs(spark, 60)
+    out = str(tmp_path / "drop")
+    shards.write_training_shards(df, out, n_shards=4)
+    # tamper: rewrite shard=1 with one row's text altered
+    sdir = out + "/data/shard=1"
+    rows = spark.read.parquet(sdir).collect()
+    rows[0] = rows[0].asDict()
+    rows[0]["text"] = rows[0]["text"] + " TAMPERED"
+    fixed = [r if isinstance(r, dict) else r.asDict() for r in rows]
+    tmp = str(tmp_path / "tampered")
+    spark.createDataFrame(fixed).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(sdir)
+    shutil.move(tmp, sdir)
+    bad = shards.verify_shards(spark, out).collect()
+    assert [r["shard"] for r in bad] == [1]
