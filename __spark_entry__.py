@@ -1123,6 +1123,30 @@ def q_corpus_report(spark, sf_dir):
             .orderBy("grouping_id", "source", "lang"))
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Training-shard writer end-to-end THROUGH the sink (operators/
+    shards.write_training_shards): write the documents table as a
+    16-shard training drop into a per-run temp dir, read the written
+    `_manifest` back, and return its md5-derived measures (the
+    xxhash64 fingerprint column is engine-specific and excluded; its
+    integrity contract is pytest-pinned by the tamper test). The
+    oracle restates shard assignment with the train_order strpos-hex
+    arithmetic and re-aggregates token/byte counts from the raw
+    table — equality proves the written layout partitions exactly
+    like the published rule."""
+    import tempfile as _tf
+
+    from log_ship_elastic_postfix_spark.operators import shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = _tf.mkdtemp(prefix="entry_shards_")
+    shards.write_training_shards(d, out, seed="42", n_shards=16)
+    man = spark.read.parquet(os.path.join(out, "_manifest"))
+    return (man.select(F.col("shard").cast("long").alias("shard"),
+                       "n_docs", "n_tokens", "n_bytes")
+            .orderBy("shard"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full parse→assemble→enrich→route pipeline over the
     deterministic synthetic pages corpus (oracle-checked end-to-end via
@@ -1190,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "incremental_dedup": q_incremental_dedup,
         "corpus_report": q_corpus_report,
+        "shard_manifest": q_shard_manifest,
         "stream_metrics": q_stream_metrics,
     }
 
@@ -1924,5 +1949,22 @@ def oracle_sql() -> dict[str, str]:
         "min(tok) as min_doc_tokens "
         "from base group by rollup (source, lang) "
         "order by grouping_id, source, lang"
+    )
+    # shard assignment restated with the train_order strpos-hex rule;
+    # measures re-aggregated from the raw table — proves the WRITTEN
+    # manifest partitions exactly like the published rule
+    hv2 = "(strpos('0123456789abcdef', substr(k, {i}, 1)) - 1)"
+    out["shard_manifest"] = (
+        "with t as (select doc_id, text, md5('42:' || doc_id) as k "
+        "from documents), "
+        f"s as (select text, (({hv2.format(i=1)} * 16 + "
+        f"{hv2.format(i=2)}) % 16)::bigint as shard from t), "
+        "base as (select shard, "
+        "case when trim(text) = '' then 0 else "
+        "len(regexp_split_to_array(trim(text), '\\s+')) end as tok, "
+        "octet_length(encode(text)) as bytes from s) "
+        "select shard, count(*) as n_docs, sum(tok)::bigint as "
+        "n_tokens, sum(bytes)::bigint as n_bytes "
+        "from base group by shard order by shard"
     )
     return out

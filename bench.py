@@ -101,7 +101,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "perplexity_bucket", "pack_sequences_bpe",
              "weighted_mix", "train_order", "quality_classifier",
              "domain_cap", "semantic_dedup", "chunk_documents",
-             "cross_source_dups", "incremental_dedup", "corpus_report"]
+             "cross_source_dups", "incremental_dedup", "corpus_report",
+             "shard_manifest"]
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in names:
