@@ -14,7 +14,9 @@ per-stage drop accounting — the corpus-paper stage_counts table.
 Scale defaults: shuffle-join verify (no broadcast), star connected
 components, AQE on. ``--broadcast-shingles`` opts into the small-corpus
 fast path; ``--no-counts`` (collect_counts=False) drops the per-stage
-count actions for pure-throughput runs.
+count actions for pure-throughput runs. ``--shards-out DIR`` finishes
+the job as a trainer handoff: the survivors are also written as a
+training-shard drop (operators.shards layout + per-shard manifest).
 """
 
 from __future__ import annotations
@@ -50,6 +52,11 @@ def main() -> None:
     p.add_argument("--repetition-max", type=float, default=None)
     p.add_argument("--broadcast-shingles", action="store_true")
     p.add_argument("--no-counts", action="store_true")
+    p.add_argument("--shards-out", default=None,
+                   help="also write the survivors as a training-shard "
+                        "drop (operators.shards layout + manifest)")
+    p.add_argument("--shards-n", type=int, default=64)
+    p.add_argument("--shards-seed", default="0")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args()
@@ -80,13 +87,30 @@ def main() -> None:
     n_out = spark.read.parquet(args.output).count()
     sec = time.monotonic() - t0
 
-    print(json.dumps({
+    out = {
         "n_survivors": n_out,
         "elapsed_sec": round(sec, 2),
         "docs_per_sec": round(n_out / sec, 1) if sec else None,
         "stage_counts": res.stage_counts,
         "output": args.output,
-    }))
+    }
+
+    if args.shards_out:
+        # cleaned corpus → trainer handoff in the same job: the drop
+        # reads the just-written survivors so its lineage starts from
+        # the committed parquet, not the in-flight plan
+        from log_ship_elastic_postfix_spark.operators.shards import (
+            write_training_shards)
+
+        t0 = time.monotonic()
+        totals = write_training_shards(
+            spark.read.parquet(args.output), args.shards_out,
+            id_col=args.id_col, text_col=args.text_col,
+            seed=args.shards_seed, n_shards=args.shards_n)
+        out["shards"] = {**totals, "out": args.shards_out,
+                         "elapsed_sec": round(time.monotonic() - t0, 2)}
+
+    print(json.dumps(out))
     spark.stop()
 
 
