@@ -816,3 +816,39 @@ def test_verify_shards_flags_tampered_shard(spark, tmp_path):
     shutil.move(tmp, sdir)
     bad = shards.verify_shards(spark, out).collect()
     assert [r["shard"] for r in bad] == [1]
+
+
+def test_incremental_dedup_randomized_vs_model(spark, tmp_path):
+    """Four random batches against a pure-Python reference model of
+    the published rule (first id per normalized-content key not yet
+    committed), with a small whitespace/case-variant alphabet so
+    within-batch and cross-batch collisions both occur often."""
+    import random
+
+    from log_ship_elastic_postfix_spark.operators.dedup import (
+        HashState, incremental_exact_dedup)
+
+    rng = random.Random(20260817)
+    variants = []
+    for j in range(10):
+        variants += [f"tok{j} text", f" TOK{j}   text ", f"tok{j}\ttext"]
+    state = HashState(str(tmp_path / "hashes"))
+    seen: set = set()
+    next_id = 0
+    for batch_i in range(4):
+        rows = []
+        for _ in range(rng.randint(5, 40)):
+            rows.append((next_id, rng.choice(variants)))
+            next_id += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        surv = incremental_exact_dedup(df, state.read(spark))
+        got = sorted(r["doc_id"] for r in surv.collect())
+        first: dict = {}
+        for i, t in rows:
+            key = " ".join(t.lower().split())
+            if key in seen or key in first:
+                continue
+            first[key] = i
+        assert got == sorted(first.values()), f"batch {batch_i}"
+        seen |= set(first)
+        state.append(surv)
