@@ -12,8 +12,10 @@ their golden-doc pytest coverage in tests/.
 
 from __future__ import annotations
 
+import atexit
 import datetime as dt
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +72,19 @@ _ANN_BRUTE_SQL = (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _mkdtemp(prefix: str) -> str:
+    """Per-run-unique temp dir, removed at interpreter exit — the
+    returned query DataFrames lazily read these paths, so deletion
+    must wait until after the caller materializes them (ADVICE r5:
+    repeated bench/verify runs were accumulating full corpus copies
+    under the temp dir)."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 # ---------------------------------------------------------------- helpers
@@ -730,14 +745,12 @@ def q_pipeline_reject_counts(spark, sf_dir):
     plants one prog-filtered spamd line and one envelope-miss garbage
     line per url; scenario 9 plants one qid-less scache statistics
     line (the reference's silent-drop path, lib/logship.js:107-111)."""
-    import tempfile as _tf
-
     pages = datagen.generate_pages(spark, 1000, n_hot=2, hot_lines=64)
     lines = with_batch_seq(pages_to_lines(pages), 1)
     # per-run-unique dir: concurrent driver/verify runs must not
     # share a rejects sink (same race class as the stream_metrics
     # temp-path finding)
-    rej_path = os.path.join(_tf.mkdtemp(prefix="entry_rejects_"), "sink")
+    rej_path = os.path.join(_mkdtemp("entry_rejects_"), "sink")
     run_batch(spark, lines, PipelineConfig(), rejects_path=rej_path)
     return (spark.read.parquet(rej_path)
             .groupBy("reject_reason")
@@ -935,12 +948,11 @@ def q_stream_metrics(spark, sf_dir):
     events with the watermark cutoff as a WHERE clause."""
     import glob as _gl
     import shutil as _sh
-    import tempfile as _tf
 
     from log_ship_elastic_postfix_spark.streaming.metrics import (
         start_ingest_metrics_stream)
 
-    base = _tf.mkdtemp(prefix="entry_stream_metrics_")
+    base = _mkdtemp("entry_stream_metrics_")
     pages_path = os.path.join(base, "pages")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -1134,12 +1146,10 @@ def q_shard_manifest(spark, sf_dir):
     arithmetic and re-aggregates token/byte counts from the raw
     table — equality proves the written layout partitions exactly
     like the published rule."""
-    import tempfile as _tf
-
     from log_ship_elastic_postfix_spark.operators import shards
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = _tf.mkdtemp(prefix="entry_shards_")
+    out = _mkdtemp("entry_shards_")
     shards.write_training_shards(d, out, seed="42", n_shards=16)
     man = spark.read.parquet(os.path.join(out, "_manifest"))
     return (man.select(F.col("shard").cast("long").alias("shard"),

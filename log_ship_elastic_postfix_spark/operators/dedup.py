@@ -44,6 +44,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -51,6 +52,18 @@ from pyspark.sql.functions import pandas_udf
 log = logging.getLogger(__name__)
 
 _MERSENNE31 = (1 << 31) - 1  # universal-hash field
+
+
+def _is_missing_path(exc: Exception) -> bool:
+    """True iff an AnalysisException is the legitimate first-batch
+    missing-store case. Every other read failure (corruption,
+    permissions, transient IO) must propagate — treating it as "no
+    committed state" silently resets dedup to first-batch semantics
+    (ADVICE r5)."""
+    get_cls = (getattr(exc, "getCondition", None)
+               or getattr(exc, "getErrorClass", lambda: None))
+    cls = get_cls() or ""
+    return "PATH_NOT_FOUND" in cls or "Path does not exist" in str(exc)
 
 # default bucket-size cap: pairs-per-bucket stays ≤ ~500k (bounded
 # task time); real near-dup clusters this large are resolved by the
@@ -908,8 +921,10 @@ class HashState:
         (first batch)."""
         try:
             return spark.read.parquet(self.path).select("content_hash")
-        except Exception:
-            return None
+        except AnalysisException as exc:
+            if _is_missing_path(exc):
+                return None
+            raise
 
     def append(self, survivors: DataFrame) -> None:
         """Commit a batch's surviving hashes (any frame with a

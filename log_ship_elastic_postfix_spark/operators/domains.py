@@ -74,6 +74,11 @@ def domain_cap(
     test, the :func:`.dedup.benchmark_contamination` pattern).
     """
     assert cap >= 1, "cap must be >= 1"
+    # an existing 'domain' column would silently duplicate (ambiguous
+    # references downstream, and callers dropping 'domain' would drop
+    # the user's original too — ADVICE r5); the caller renames first
+    assert "domain" not in df.columns, \
+        "domain_cap: input already has a 'domain' column — rename it"
     dom = url_registered_domain(F.col(url_col)).alias("domain")
     keyed = df.select(dom, "*")
 

@@ -47,10 +47,12 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import incremental_exact_dedup, normalize_text
+from ..operators.dedup import (_is_missing_path, incremental_exact_dedup,
+                               normalize_text)
 from ..sources.bookmark import BookmarkStore
 
 
@@ -70,10 +72,17 @@ class DedupIngest:
 
     def _committed(self, spark: SparkSession,
                    exclude_batch: int) -> Optional[DataFrame]:
+        # only the legitimate first-batch case (store not created yet)
+        # may degrade to "no committed state"; any OTHER read failure
+        # (corruption, permissions, transient IO) must abort the batch
+        # — silently deduping against nothing would commit duplicates
+        # with the bookmark advancing normally (ADVICE r5)
         try:
             df = spark.read.parquet(self.hash_path)
-        except Exception:
-            return None
+        except AnalysisException as exc:
+            if _is_missing_path(exc):
+                return None
+            raise
         return (df.filter(F.col("ingest_batch") != exclude_batch)
                 .select("content_hash"))
 
@@ -86,10 +95,12 @@ class DedupIngest:
         survivors = incremental_exact_dedup(
             batch_df, self._committed(spark, batch_id),
             text_col=self.text_col, id_col=self.id_col, hash_expr=h)
-        docs = batch_df.join(survivors.select(self.id_col), self.id_col)
-        # one deterministic recompute feeds both writes; survivors is
-        # small (id + hash), so a localCheckpoint is bounded
+        # checkpoint BEFORE deriving the corpus frame: both writes must
+        # consume the single evaluated survivor set (ADVICE r5 — the
+        # pre-checkpoint plan would recompute the whole dedup lineage,
+        # including a second hash-store scan, for the corpus write)
         survivors = survivors.localCheckpoint(eager=True)
+        docs = batch_df.join(survivors.select(self.id_col), self.id_col)
         n_kept = survivors.count()
         (docs.write.mode("overwrite")
          .parquet(os.path.join(self.corpus_path,
