@@ -370,14 +370,41 @@ def q_ann_topk_dot(spark, sf_dir):
         F.transform(F.col("embedding"),
                     lambda x: F.round(x.cast("double") * 1000).cast("long"))
         .alias("q"))
-    qs = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
     corpus = e.select(F.col("vec_id").alias("nbr_id"), F.col("q").alias("nv"))
-    dot = F.aggregate(F.zip_with("qv", "nv", lambda x, y: x * y),
-                      F.lit(0).cast("long"), lambda acc, v: acc + v)
-    scored = (qs.crossJoin(corpus)
-              .filter(F.col("query_id") != F.col("nbr_id"))
-              .withColumn("dot", dot))
+
+    # exact int64 dots against ALL query vectors in one Arrow batch
+    # kernel (guide §4.2/§8: decide with small rows — the 50 query
+    # vectors are bounded metadata like the semantic_dedup centroid
+    # collect). The r5 form cross-joined 50 queries onto every corpus
+    # row and ran an interpreted per-element aggregate over ~1M pair
+    # rows, shipping two 64-long arrays per row; here each corpus
+    # vector crosses the boundary once and comes back as 50 longs.
+    # Integer sums are order-independent, so results are identical.
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    q_rows = (e.filter(F.col("vec_id") < 50).orderBy("vec_id")
+              .select("vec_id", "q").collect())
+    q_mat = _np.array([r["q"] for r in q_rows], dtype=_np.int64)  # (Q, d)
+    q_ids = F.array(*[F.lit(int(r["vec_id"])) for r in q_rows])
+
+    # hintless on purpose: under `from __future__ import annotations`
+    # the hints are strings and pyspark's signature inference rejects
+    # them (the repetition_stats precedent)
+    @_pudf("array<long>")
+    def _dots_vs_queries(nv):
+        if len(nv) == 0:
+            return _pd.Series([], dtype=object)
+        m = _np.array(nv.tolist(), dtype=_np.int64)       # (n, d)
+        return _pd.Series((m @ q_mat.T).tolist())         # (n, Q)
+
+    scored = (corpus
+              .select("nbr_id", F.posexplode(
+                  _dots_vs_queries(F.col("nv"))).alias("_qi", "dot"))
+              .select(F.element_at(q_ids, F.col("_qi") + 1).cast("long")
+                      .alias("query_id"), "nbr_id", "dot")
+              .filter(F.col("query_id") != F.col("nbr_id")))
     w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(),
                                                F.col("nbr_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -596,9 +623,10 @@ def q_url_canonical(spark, sf_dir):
                 (F.col("doc_id") % 7).cast("int"),
                 (F.col("doc_id") % 5).cast("int")),
         ).alias("url"))
-    return (messy.select(
-        "doc_id", urls.canonical_url(F.col("url")).alias("canonical_url"))
-        .orderBy("doc_id"))
+    # sort-before-project: see q_pii_redact — canonicalization regexes
+    # evaluated once
+    return (messy.orderBy("doc_id").select(
+        "doc_id", urls.canonical_url(F.col("url")).alias("canonical_url")))
 
 
 def q_url_dedup(spark, sf_dir):
@@ -664,11 +692,13 @@ def q_gopher_quality(spark, sf_dir):
         .otherwise(F.concat(F.col("text"), F.lit("\n- one bullet")))
         .alias("text"))
     flags = textstats.gopher_quality_flags(F.col("text"), min_words=10)
-    return (d.select("doc_id", flags.alias("g"))
+    # sort-before-project: see q_pii_redact — identical row order,
+    # flag expressions evaluated once instead of twice
+    return (d.orderBy("doc_id")
+            .select("doc_id", flags.alias("g"))
             .select("doc_id", "g.word_count_ok", "g.word_len_ok",
                     "g.symbol_ok", "g.bullet_ok", "g.stopword_ok",
-                    "g.passes")
-            .orderBy("doc_id"))
+                    "g.passes"))
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -688,10 +718,12 @@ def q_repetition_stats(spark, sf_dir):
                             F.col("doc_id").cast("string")))
         .alias("text"))
     r = textstats.repetition_stats(F.col("text"))
-    return (d.select("doc_id", r.alias("r"))
+    # sort-before-project: see q_pii_redact — the range sampler was
+    # re-running the whole repetition pandas UDF
+    return (d.orderBy("doc_id")
+            .select("doc_id", r.alias("r"))
             .select("doc_id", "r.dup_line_frac", "r.dup_line_char_frac",
-                    "r.top_bigram_char_frac", "r.top_trigram_char_frac")
-            .orderBy("doc_id"))
+                    "r.top_bigram_char_frac", "r.top_trigram_char_frac"))
 
 
 def q_clean_corpus(spark, sf_dir):
@@ -777,10 +809,15 @@ def q_pii_redact(spark, sf_dir):
                 (F.col("doc_id") % 5).cast("int"),
                 (F.col("doc_id") % 200).cast("int"))).alias("text"))
     r = redact.redact_pii(F.col("text"))
-    return (d.select("doc_id", r.alias("r"))
+    # sort BEFORE the redaction projection: the global sort's range-
+    # sampling pass re-executes its child, so sorting last ran every
+    # regex twice (measured 2×); the projection above the sort keeps
+    # the identical doc_id row order (guide §1/§2 — same rows, half
+    # the work)
+    return (d.orderBy("doc_id")
+            .select("doc_id", r.alias("r"))
             .select("doc_id", "r.text_redacted", "r.n_emails",
-                    "r.n_ips", "r.n_longnums")
-            .orderBy("doc_id"))
+                    "r.n_ips", "r.n_longnums"))
 
 
 def q_sample_split(spark, sf_dir):
@@ -1019,9 +1056,10 @@ def q_quality_classifier(spark, sf_dir):
     from log_ship_elastic_postfix_spark.functions import classifier
 
     d = _t(spark, sf_dir, "documents")
-    return (classifier.classifier_score(d)
-            .select("doc_id", "n_tokens", "score_micro", "keep")
-            .orderBy("doc_id"))
+    # sort-before-project: see q_pii_redact — the per-token md5
+    # scoring projection evaluated once
+    return (classifier.classifier_score(d.orderBy("doc_id"))
+            .select("doc_id", "n_tokens", "score_micro", "keep"))
 
 
 def q_domain_cap(spark, sf_dir):
@@ -1084,7 +1122,13 @@ def q_chunk_documents(spark, sf_dir):
     from log_ship_elastic_postfix_spark.operators import packing
 
     d = _t(spark, sf_dir, "documents")
+    # the sort keys only exist after the chunk fan-out, so the
+    # sort-before-project trick does not apply; eagerly checkpoint
+    # the chunk projection instead so the global sort's range-sampling
+    # pass reads materialized rows rather than re-running the whole
+    # explode+slice pipeline (measured 2× otherwise)
     return (packing.chunk_documents(d, window=32, stride=16)
+            .localCheckpoint(eager=True)
             .orderBy("doc_id", "chunk_id"))
 
 

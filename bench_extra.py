@@ -89,13 +89,13 @@ def main() -> None:
                     df._jdf.queryExecution(), "formatted"))
             print(f"wrote {p}", file=sys.stderr)
         samples = []
-        for _ in range(repeat):
+        for _ in range(max(repeat, 0)):
             spark.sparkContext.setJobDescription(f"r06:{name}")
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.monotonic() - t0, 3))
-        out[name] = samples if repeat > 1 else samples[0]
+        out[name] = samples if repeat != 1 else samples[0]
         print(f"{name}: {samples}", file=sys.stderr)
     print(json.dumps({"sf_dir": sf_dir, "queries": out}))
     spark.stop()

@@ -47,10 +47,12 @@ def punct_ratio(text: Column) -> Column:
 
 
 def mean_word_length(text: Column) -> Column:
+    # sum of token lengths == length of the tokens' concatenation —
+    # one native array_join instead of an interpreted per-element
+    # aggregate lambda (same integers, same double division)
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
-    total = F.aggregate(toks, F.lit(0),
-                        lambda acc, t: acc + F.length(t))
+    total = F.length(F.array_join(toks, ""))
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -104,7 +106,9 @@ def symbol_to_word_ratio(text: Column) -> Column:
     """Symbols (#, …, ellipsis runs) per whitespace token — Gopher
     rule: docs with ratio > 0.1 are usually scraped debris."""
     n = token_count(text)
-    syms = F.length(F.regexp_replace(text, r"[^#…]", ""))
+    # count the symbols directly — the regexp_replace form built a
+    # stripped copy of every document just to measure it
+    syms = F.regexp_count(text, F.lit(r"[#…]"))
     return F.when(n > 0, syms.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -112,8 +116,11 @@ def bullet_line_ratio(text: Column) -> Column:
     """Fraction of lines starting with a bullet marker (-, *, •)."""
     lines = F.split(text, "\n")
     n = F.size(lines)
-    bullets = F.size(F.filter(
-        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    # one multiline regex pass over the whole document instead of an
+    # interpreted per-line filter lambda (each lambda invocation paid
+    # its own rlike): a line "starts with a bullet after F.trim" iff
+    # (?m)^ *[-*•] matches — F.trim strips exactly the space char
+    bullets = F.regexp_count(text, F.lit(r"(?m)^ *[-*•]"))
     return F.when(n > 0, bullets.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -136,9 +143,11 @@ def gopher_quality_flags(text: Column, *, min_words: int = 50,
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = token_count(text)
     wl = mean_word_length(text)
+    # literal stopword array on the LEFT: set-intersection size is
+    # symmetric, and this skips the array_distinct pass over the
+    # (much longer) token array
     distinct_stops = F.size(F.array_intersect(
-        F.array_distinct(toks),
-        F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+        F.array(*[F.lit(w) for w in EN_STOPWORDS]), toks))
     flags = {
         "word_count_ok": (n >= min_words) & (n <= max_words),
         "word_len_ok": (wl >= 3.0) & (wl <= 10.0),

@@ -351,9 +351,20 @@ def jaccard_pairs(
     persist is released before returning (pairs are two longs + a
     double per row; the shingle cache must not outlive the verify —
     repeated calls in clean_corpus/bench/streaming would otherwise
-    accumulate cached storage for the driver's lifetime)."""
-    sh = df.select(F.col(id_col),
-                   shingles(F.col(text_col), n_shingle).alias("sh")).persist()
+    accumulate cached storage for the driver's lifetime).
+
+    Only documents that actually APPEAR in a candidate pair are
+    shingled: the verify set after LSH is a sliver of the corpus, and
+    the r5 shape paid the (interpreted, per-gram) shingle expression
+    over every document — the measured majority of the whole near-dup
+    query. The id semi-join is exchange-cheap (candidate ids are a
+    checkpointed two-long frame; AQE broadcasts it when small)."""
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sh = (df.join(cand_ids, id_col, "left_semi")
+          .select(F.col(id_col),
+                  shingles(F.col(text_col), n_shingle).alias("sh"))).persist()
     try:
         a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -653,6 +664,45 @@ def boilerplate_line_dedup(
 
 
 # ------------------------------------------ benchmark decontamination
+def _gram_hashes64(text_col: Column, n: int) -> Column:
+    """DISTINCT 64-bit hashes of a document's word ``n``-grams as one
+    ``array<long>`` — the :func:`simhash64` construction (two
+    independent 31-bit window mixes over cached per-token crc32s,
+    packed hi/lo), one Arrow batch pass, uniqued per doc in numpy.
+
+    This replaces the JVM ``xxhash64(explode(shingles(...)))``
+    pipeline for operators that only compare gram IDENTITIES
+    (decontamination): the interpreted shingle expression
+    (arrays_zip + transform + array_distinct) was the measured
+    bottleneck (~8.5 s of a 12.9 s query at 50k docs), and per-doc
+    uniqueness here makes the downstream ``(id, hash) DISTINCT``
+    exchange unnecessary. Same tokenization rule as
+    :func:`minhash_signature` (lowercase whitespace split); the
+    64-bit space keeps corpus-scale collision odds negligible, the
+    same contract the xxhash64 form relied on."""
+    coef_lo = _SHINGLE_COEF[:n].copy()
+    coef_hi = np.array([(c * 31 + 17) % _MERSENNE31 for c in coef_lo],
+                       dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def gh(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) < n:
+                out.append([])
+                continue
+            th = _token_hashes(toks, cache)
+            lo = _shingle_hashes(th, n, coef_lo).astype(np.uint64)
+            hi = _shingle_hashes(th, n, coef_hi).astype(np.uint64)
+            out.append(np.unique(
+                (lo | (hi << np.uint64(32))).astype(np.int64)).tolist())
+        return pd.Series(out, dtype=object)
+
+    return gh(text_col)
+
+
 def benchmark_contamination(
     df: DataFrame, benchmark: DataFrame, *, text_col: str = "text",
     id_col: str = "doc_id", bench_text_col: str = "text", n: int = 8,
@@ -673,14 +723,14 @@ def benchmark_contamination(
     form an n-gram produce no rows and come back contaminated=false
     via the left join — the same degenerate-input rule as LSH banding.
     """
-    doc_grams = (df.select(
+    # per-doc-unique hashes straight from the Arrow kernel: the
+    # (id, hash) pairs are distinct by construction, so the global
+    # DISTINCT exchange the string-shingle formulation needed is gone
+    doc_grams = df.select(
         F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("_g"))
-        .select(id_col, F.xxhash64("_g").alias("_h"))
-        .distinct())
+        F.explode(_gram_hashes64(F.col(text_col), n)).alias("_h"))
     bench_grams = (benchmark.select(
-        F.explode(shingles(F.col(bench_text_col), n)).alias("_g"))
-        .select(F.xxhash64("_g").alias("_h"))
+        F.explode(_gram_hashes64(F.col(bench_text_col), n)).alias("_h"))
         .distinct())
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)

@@ -43,6 +43,37 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _cosine_batch(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine, BIT-IDENTICAL to :func:`cosine`: the
+    per-dimension accumulation loops replay the JVM aggregate's
+    left-to-right IEEE summation order for dot and both norms, and
+    sqrt/multiply/divide are the same scalar double ops — so swapping
+    this in for the interpreted expression (measured ~77 µs per
+    64-dim cosine: higher-order lambdas never reach codegen) cannot
+    move a rounded score by an ulp. Requires uniform vector length
+    within a batch (the operator contract — one embedding space).
+    Defined as a factory: ``pandas_udf`` needs an active session."""
+
+    @pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.array(va.tolist(), dtype=np.float64)
+        mb = np.array(vb.tolist(), dtype=np.float64)
+        dot = np.zeros(len(ma))
+        na = np.zeros(len(ma))
+        nb = np.zeros(len(ma))
+        for d in range(ma.shape[1]):
+            dot += ma[:, d] * mb[:, d]
+            na += ma[:, d] * ma[:, d]
+            nb += mb[:, d] * mb[:, d]
+        denom = np.sqrt(na) * np.sqrt(nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(denom > 0, dot / denom, 0.0))
+
+    return cos(a, b)
+
+
 def brute_force_topk(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, queries: DataFrame | None = None,
@@ -63,7 +94,7 @@ def brute_force_topk(
     scored = (qs.crossJoin(corpus)
               .filter(F.col("query_id") != F.col("nbr_id"))
               .withColumn("score", F.round(
-                  cosine(F.col("query_vec"), F.col("nbr_vec")), 6)))
+                  _cosine_batch(F.col("query_vec"), F.col("nbr_vec")), 6)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("nbr_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -194,7 +225,7 @@ def ann_topk(
                    F.col(vec_col).alias("nbr_vec"))
     scored = (pairs.join(qv, "id_a").join(nv, "id_b")
               .withColumn("score", F.round(
-                  cosine(F.col("query_vec"), F.col("nbr_vec")), 6)))
+                  _cosine_batch(F.col("query_vec"), F.col("nbr_vec")), 6)))
     w = Window.partitionBy("id_a").orderBy(
         F.col("score").desc(), F.col("id_b").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -288,7 +319,7 @@ def ivf_topk(
                    F.col(vec_col).alias("nbr_vec"))
     scored = (cand.join(qv, "query_id").join(nv, "nbr_id")
               .withColumn("score", F.round(
-                  cosine(F.col("query_vec"), F.col("nbr_vec")), 6)))
+                  _cosine_batch(F.col("query_vec"), F.col("nbr_vec")), 6)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("nbr_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -311,7 +342,7 @@ def embedding_near_duplicates(
                    F.col(vec_col).alias("vec_b"))
     return (pairs.join(va, "id_a").join(vb, "id_b")
             .withColumn("score", F.round(
-                cosine(F.col("vec_a"), F.col("vec_b")), 6))
+                _cosine_batch(F.col("vec_a"), F.col("vec_b")), 6))
             .filter(F.col("score") >= threshold)
             .select("id_a", "id_b", "score"))
 
@@ -369,12 +400,17 @@ def semantic_dedup(
     data-dependent), evaluated once (eager checkpoint) since Spark's
     higher-order array lambdas are interpreted, not codegen'd
     (measured ~77 µs per 64-dim cosine). The PAIR stage — the O(n²/C)
-    hot loop — scores with an Arrow-vectorized numpy dot instead:
-    only the boolean threshold crossing reaches the output, and the
+    hot loop — runs as one numpy matrix kernel per (cell, block-pair)
+    group: only the boolean threshold crossing reaches the output,
+    the per-dimension accumulation loop reproduces the JVM
+    aggregate's left-to-right summation order bit-for-bit, and the
     caller owns a threshold with real margins (the SemDeDup ε is a
-    tuned knob, never a value sitting on a data point), so a ≤1e-12
-    relative summation difference cannot flip it. That swap took the
-    pairwise stage from ~20 s to sub-second at 260k pairs.
+    tuned knob, never a value sitting on a data point), so the
+    np.round half-mode difference cannot flip it. History: per-pair
+    expression scoring ~20 s at 260k pairs → einsum-per-row ~5 s →
+    this blocked-GEMM shape, which stops materializing a vector-
+    carrying row per candidate pair entirely (the r5 driver measured
+    70 s at 20k vectors; the join row count was ~25M × 1 KB).
     """
     import math
 
@@ -403,36 +439,75 @@ def semantic_dedup(
     # evaluate it ONCE — the a/b/result branches below would re-run
     # it three times otherwise
     cells = cells.localCheckpoint(eager=True)
-    # blocked within-cell all-pairs: a raw self-join on `cell` has
-    # only C distinct keys, capping the pairwise stage's parallelism
-    # at C tasks however many executors exist. Each probe row fans
-    # out to every block id, so the join keys number C·n_blocks while
-    # every (x, y) pair still meets exactly once.
+    # blocked within-cell all-pairs as ONE matrix kernel per block
+    # pair (optimization guide §4.2: hand whole batches to native
+    # code). The r5 formulation joined full vectors onto every
+    # candidate pair row — at 20k vectors / 8 cells that is ~25M
+    # join rows × 1 KB of vector payload through a per-row scoring
+    # UDF (the 70 s driver query). Here each row is replicated only
+    # n_blocks+1 times (its block-pair memberships), the one
+    # exchange is the applyInPandas regroup on (cell, bi, bj) —
+    # C·B(B+1)/2 keys, so parallelism survives — and each group
+    # scores its na×nb pair matrix with 64 vectorized outer-product
+    # accumulations. The per-dimension accumulation loop reproduces
+    # the JVM aggregate's left-to-right summation order exactly
+    # (einsum/GEMM pairwise summation is what it replaces), so the
+    # scores are bit-identical to the `_dot` expression; division
+    # and np.round(…, 6) happen on IEEE doubles the same way, with
+    # the documented threshold-margin contract absorbing the
+    # round-half mode difference (HALF_UP vs half-even differs only
+    # when score·10⁶ lands exactly on .5 — not a value a real
+    # cosine threshold sits on).
     blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
-                 F.lit(n_blocks))
-    a = (cells.select(F.col(id_col).alias("_ida"), F.col("cell"),
-                      F.col("_v").alias("_va"), F.col("_nv").alias("_na"))
-         .withColumn("_blk", F.explode(
-             F.sequence(F.lit(0), F.lit(n_blocks - 1)))))
-    b = cells.select(F.col(id_col).alias("_idb"), F.col("cell"),
-                     F.col("_v").alias("_vb"), F.col("_nv").alias("_nb"),
-                     blk.cast("int").alias("_blk"))
+                 F.lit(n_blocks)).cast("int")
+    a_side = F.transform(
+        F.sequence(F.col("_t"), F.lit(n_blocks - 1)),
+        lambda j: F.struct(F.col("_t").alias("bi"), j.alias("bj"),
+                           F.lit(0).alias("side")))
+    b_side = F.transform(
+        F.sequence(F.lit(0), F.col("_t")),
+        lambda i: F.struct(i.alias("bi"), F.col("_t").alias("bj"),
+                           F.lit(1).alias("side")))
+    memb = (cells.withColumn("_t", blk)
+            .select(F.col(id_col).alias("_id"), "_v", "_nv", "cell",
+                    F.explode(F.concat(a_side, b_side)).alias("_p"))
+            .select("_id", "_v", "_nv", "cell",
+                    F.col("_p.bi").alias("_bi"),
+                    F.col("_p.bj").alias("_bj"),
+                    F.col("_p.side").alias("_side")))
+    thr = float(threshold)
+    id_type = dict(df.dtypes)[id_col]
 
-    @pandas_udf("double")
-    def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.array(va.tolist(), dtype=np.float64)
-        mb = np.array(vb.tolist(), dtype=np.float64)
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+    def _score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_side"] == 0]
+        b = pdf[pdf["_side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"_d": pd.Series([], dtype="object")})
+        ma = np.array(a["_v"].tolist(), dtype=np.float64)
+        mb = np.array(b["_v"].tolist(), dtype=np.float64)
+        na = a["_nv"].to_numpy(dtype=np.float64)
+        nb = b["_nv"].to_numpy(dtype=np.float64)
+        ida = a["_id"].to_numpy()
+        idb = b["_id"].to_numpy()
+        acc = np.zeros((len(ida), len(idb)), dtype=np.float64)
+        for d in range(ma.shape[1]):  # sequential-sum dot, JVM order
+            acc += np.outer(ma[:, d], mb[:, d])
+        denom = np.outer(na, nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(denom > 0, acc / denom, 0.0)
+        # each unordered pair meets ONCE here, in whichever block
+        # orientation its two rows landed — the drop target is the
+        # larger id of the pair, whichever side it sits on
+        a_lt_b = ida[:, None] < idb[None, :]
+        hit = (np.round(s, 6) >= thr) & (ida[:, None] != idb[None, :])
+        drop_b = idb[(hit & a_lt_b).any(axis=0)]
+        drop_a = ida[(hit & ~a_lt_b).any(axis=1)]
+        return pd.DataFrame(
+            {"_d": np.unique(np.concatenate([drop_a, drop_b]))})
 
-    pair_s = F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
-                    _pair_dot(F.col("_va"), F.col("_vb"))
-                    / (F.col("_na") * F.col("_nb"))).otherwise(F.lit(0.0))
-    dropped = (a.join(b, ["cell", "_blk"])
-               .filter(F.col("_ida") < F.col("_idb"))
-               .filter(F.round(pair_s, 6) >= threshold)
-               .select(F.col("_idb").alias(id_col))
+    dropped = (memb.groupBy("cell", "_bi", "_bj")
+               .applyInPandas(_score_block_pair, f"_d {id_type}")
+               .select(F.col("_d").alias(id_col))
                .distinct()
                .withColumn("_dropped", F.lit(True)))
     return (cells.select(id_col, "cell")
