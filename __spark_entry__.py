@@ -70,8 +70,51 @@ _ANN_BRUTE_SQL = (
 )
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# parquet row-group counts per table path — metadata only (never
+# results), read once per process
+_RG_CACHE: dict[str, int] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       parallelize: bool = True) -> DataFrame:
+    """Driver table scan, re-parallelized when the file layout is
+    unsplittable. The driver's tables are single-file parquet with ONE
+    row group (verified: every sf0.01-sf1.0 table except lineitem),
+    and a parquet row group cannot be split across tasks — so every
+    narrow query was executing its whole per-row pipeline on a single
+    core regardless of cluster size (guide §6: input split size). A
+    round-robin repartition to the session's default parallelism
+    restores scan-side parallelism for the price of one small
+    exchange; it fires only when the actual row-group count is below
+    half the available slots (data-adaptive, never a local[32]
+    constant), and results are unaffected — every declared query's
+    output is order-canonicalized by its own sort or by the
+    order-insensitive aggregate semantics the oracle gate checks.
+
+    ``parallelize=False`` opts a query out: queries whose first real
+    operator is an aggregation/join exchange gain nothing scan-side
+    (their per-row map work is trivial) and would pay the extra
+    exchange for free — measured sessionize 1.5 → 3.2 s with it on."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if not parallelize:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if path not in _RG_CACHE:
+        try:
+            import glob as _g
+
+            import pyarrow.parquet as _pq
+            files = ([path] if os.path.isfile(path)
+                     else _g.glob(os.path.join(path, "*.parquet")))
+            _RG_CACHE[path] = sum(
+                _pq.ParquetFile(f).metadata.num_row_groups
+                for f in files[:256])
+        except Exception:
+            _RG_CACHE[path] = par  # unknown layout — leave the scan be
+    if _RG_CACHE[path] < max(par // 2, 2):
+        df = df.repartition(par)
+    return df
 
 
 def _mkdtemp(prefix: str) -> str:
@@ -109,15 +152,21 @@ def _synthetic_lines(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- queries
 def q_scan_filter_project(spark, sf_dir):
     """S1/P2/P4: scan + pushed-down predicate + pruned projection."""
-    return (_t(spark, sf_dir, "events")
+    return (_t(spark, sf_dir, "events", parallelize=False)
             .filter((F.col("event_type") == "purchase") & (F.col("value") > 30))
             .select("event_id", "user_id", "value"))
 
 
 def q_parse_grok(spark, sf_dir):
-    """P1/P3/F1: envelope+grammar round-trip over synthetic lines."""
+    """P1/P3/F1: envelope+grammar round-trip over synthetic lines.
+
+    ``fields`` names exactly the kv fields this query projects
+    (guide §4.1: every parsed field is its own regex pass and its own
+    column across the Arrow boundary; the grammar itself — envelope,
+    prog filter, qid rule, dates — is unchanged)."""
     lines = _synthetic_lines(_t(spark, sf_dir, "events"))
-    parsed = parse_lines(lines, now=NOW).parsed
+    parsed = parse_lines(lines, now=NOW,
+                         fields=["from", "size", "nrcpt"]).parsed
     return parsed.select(
         F.col("line_no").alias("event_id"),
         F.col("qid"),
@@ -140,7 +189,7 @@ def q_props_extract(spark, sf_dir):
 
 def q_date_route_counts(spark, sf_dir):
     """P7/F6/A12/A13: date-suffix routing projection + per-route counts."""
-    return (_t(spark, sf_dir, "events")
+    return (_t(spark, sf_dir, "events", parallelize=False)
             .select(F.date_format("ts", "yyyy-MM-dd").alias("route_date"))
             .groupBy("route_date")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -151,7 +200,7 @@ def q_sessionize(spark, sf_dir):
     """J3/A1-A13 (SQL-checkable projection of the session fold):
     per-key ordered aggregates. Exact-integer money (cents) so the
     value hash is engine-deterministic."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", parallelize=False)
     return (e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -170,7 +219,7 @@ def q_sessionize_events_list(spark, sf_dir):
     """The ordered-event-assembly shape of the fold as an
     SQL-checkable aggregate: per key, the full event-type sequence in
     (ts, event_id) order — the per-qid events array analog."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", parallelize=False)
     ordered = F.array_sort(F.collect_list(F.struct(
         F.col("ts"), F.col("event_id"), F.col("event_type"))))
     return (e.groupBy("user_id").agg(
@@ -183,7 +232,7 @@ def q_dedup_first_wins(spark, sf_dir):
     """First-queued-wins + exact-duplicate suppression as a relational
     check: per user, count of distinct (event_type, value) pairs — the
     dedup-by-content analog (A11) — plus the first purchase id."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", parallelize=False)
     first_purchase = F.min(F.when(
         F.col("event_type") == "purchase", F.col("event_id")))
     return (e.groupBy("user_id").agg(
@@ -195,8 +244,8 @@ def q_dedup_first_wins(spark, sf_dir):
 def q_multi_join_enrich(spark, sf_dir):
     """Multi-hop broadcast enrich chain (customer→nation→region) with
     an exact-integer revenue rollup — the J2 chain at TPC-H shape."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders", parallelize=False)
+    c = _t(spark, sf_dir, "customer", parallelize=False)
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (o.join(c, o["o_custkey"] == c["c_custkey"])
@@ -212,7 +261,7 @@ def q_multi_join_enrich(spark, sf_dir):
 def q_rollup_counts(spark, sf_dir):
     """Hierarchical rollup (date × event_type) — grouping-sets shape
     the reference lacks (SURVEY §2.4 N/A row), exact counts."""
-    e = _t(spark, sf_dir, "events").select(
+    e = _t(spark, sf_dir, "events", parallelize=False).select(
         F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
     return (e.rollup("d", "event_type")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -234,7 +283,7 @@ def q_text_quality_full(spark, sf_dir):
 def q_first_event_wins(spark, sf_dir):
     """First-value-by-order semantics (the first-queued-wins analog,
     reference lib/postfix-doc.js:272-278) as a window rank."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", parallelize=False)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
                                               F.col("event_id").asc())
     return (e.withColumn("rn", F.row_number().over(w))
@@ -245,8 +294,8 @@ def q_first_event_wins(spark, sf_dir):
 
 def q_lookup_join(spark, sf_dir):
     """J1: batch keys ⋈ state/dimension by key (left outer)."""
-    e = _t(spark, sf_dir, "events")
-    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events", parallelize=False)
+    c = _t(spark, sf_dir, "customer", parallelize=False)
     return (e.join(c, e["user_id"] == c["c_custkey"], "left")
             .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("__none__"))
                      .alias("segment"))
@@ -256,7 +305,7 @@ def q_lookup_join(spark, sf_dir):
 
 def q_broadcast_enrich(spark, sf_dir):
     """J2: broadcast dimension enrich (lang → lang_name)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", parallelize=False)
     dim = datagen.lang_dim(spark)
     return (d.join(F.broadcast(dim), "lang", "left")
             .groupBy("lang", "lang_name", "family")
@@ -266,13 +315,14 @@ def q_broadcast_enrich(spark, sf_dir):
 
 def q_distinct_keys(spark, sf_dir):
     """A12: distinct key set."""
-    return _t(spark, sf_dir, "events").select("user_id").distinct()
+    return (_t(spark, sf_dir, "events", parallelize=False)
+            .select("user_id").distinct())
 
 
 def q_agg_lineitem(spark, sf_dir):
     """Partial+final hash aggregation at TPC-H shape (exact-integer
     sums so the hash matches bit-for-bit)."""
-    l = _t(spark, sf_dir, "lineitem")
+    l = _t(spark, sf_dir, "lineitem", parallelize=False)
     return (l.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("count_order"),
@@ -478,8 +528,12 @@ def q_embedding_neardup(spark, sf_dir):
                            .otherwise(x)))
                        .alias("embedding")))
     un = e.unionByName(planted)
+    # small demo corpus: opt into the broadcast vector-join fast path
+    # (the minhash broadcast_shingles pattern; scale default is the
+    # shuffle join)
     return (similarity.embedding_near_duplicates(
-        un, threshold=0.95, n_tables=16, n_bits=12)
+        un, threshold=0.95, n_tables=16, n_bits=12,
+        broadcast_vectors=True)
         .orderBy("id_a", "id_b"))
 
 

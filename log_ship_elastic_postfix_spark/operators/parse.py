@@ -111,6 +111,38 @@ def _offset_strings(offset_sec: pd.Series) -> pd.Series:
 def _normalize_dates(mon: pd.Series, day: pd.Series, hh: pd.Series,
                      mi: pd.Series, ss: pd.Series, tz: str,
                      now: dt.datetime) -> pd.Series:
+    """Memoizing front of :func:`_normalize_dates_impl`: log timestamps
+    have second granularity, so a batch of N lines holds far fewer
+    distinct (mon, day, hh, mi, ss) tuples than rows — factorize the
+    composite key, normalize each unique tuple once, scatter back.
+    Per-key results are computed by the identical impl, so outputs are
+    row-for-row identical; the r6 profile had the date normalizer at
+    >50 % of the whole grok batch (2.6 s of 4.8 s per 400k lines)."""
+    n = len(mon)
+    if n == 0:
+        return _normalize_dates_impl(mon, day, hh, mi, ss, tz, now)
+    # "|" can never appear in the regex-captured components (month is
+    # [A-Z][a-z]{2}, the rest digits); key is NaN if any component is
+    key = mon.str.cat([day, hh, mi, ss], sep="|")
+    codes, uniq = pd.factorize(key)
+    if len(uniq) == 0:  # every envelope missed — all-null dates
+        return pd.Series([None] * n, index=mon.index, dtype=object)
+    if len(uniq) > n // 2:  # low repetition — skip the indirection
+        return _normalize_dates_impl(mon, day, hh, mi, ss, tz, now)
+    parts = pd.Series(uniq, dtype=object).str.split("|", expand=True)
+    du = _normalize_dates_impl(parts[0], parts[1], parts[2], parts[3],
+                               parts[4], tz, now)
+    arr = du.to_numpy(dtype=object)
+    out = np.empty(n, dtype=object)
+    mask = codes >= 0
+    out[mask] = arr[codes[mask]]
+    out[~mask] = None  # rows whose envelope components were NaN
+    return pd.Series(out, index=mon.index)
+
+
+def _normalize_dates_impl(mon: pd.Series, day: pd.Series, hh: pd.Series,
+                          mi: pd.Series, ss: pd.Series, tz: str,
+                          now: dt.datetime) -> pd.Series:
     """Vectorized reference date rule (lib/postfix-doc.js:39-145):
     current-year assumption, minus-one-year when >6×30 d in the future,
     ISO-8601 with the IANA zone's offset at that wall time.
@@ -149,10 +181,15 @@ def _normalize_dates(mon: pd.Series, day: pd.Series, hh: pd.Series,
 
 
 def _grok_batch(pdf: pd.DataFrame, line_col: str, tz: str,
-                now: dt.datetime) -> pd.DataFrame:
+                now: dt.datetime,
+                fields: Optional[list[str]] = None) -> pd.DataFrame:
     """One vectorized pass: envelope → pre-filter → grammar → dates.
-    Adds host/prog/date, every PARSED_FIELDS column, and
-    ``reject_reason`` (null for kept rows)."""
+    Adds host/prog/date, the requested PARSED_FIELDS columns
+    (``fields=None`` = all of them), and ``reject_reason`` (null for
+    kept rows). ``qid``/``queue_id`` are always derived internally —
+    the qid-presence rule depends on them — but only requested fields
+    appear in the output."""
+    want = set(PARSED_FIELDS if fields is None else fields) | {"qid"}
     line = pdf[line_col].fillna("")
     env = line.str.extract(ENVELOPE_RE)
     mon, day, hh, mi, ss = (env[i] for i in range(5))
@@ -171,37 +208,46 @@ def _grok_batch(pdf: pd.DataFrame, line_col: str, tz: str,
     out["date"] = _normalize_dates(mon, day, hh, mi, ss, tz, now) \
         .where(envelope_ok)
 
-    wide = _kv_wide(rest, _ANGLE_KEYS + _PLAIN_KEYS)
-    for k in _ANGLE_KEYS:
+    angle_keys = [k for k in _ANGLE_KEYS if k in want]
+    plain_keys = [k for k in _PLAIN_KEYS if k in want]
+    wide = _kv_wide(rest, angle_keys + plain_keys)
+    for k in angle_keys:
         v = wide[k]
         angled = v.str.startswith("<", na=False) & v.str.endswith(">", na=False)
         out[k] = v.str[1:-1].where(angled)
     non_pf_msg = msg.where(~is_postfix)
-    if non_pf_msg.notna().any():
+    rmilter_keys = [k for k in _RMILTER_KEYS if k in want]
+    if rmilter_keys and non_pf_msg.notna().any():
         # rmilter/rspamd keys live in the free-form msg (small subset)
-        rwide = _kv_wide(non_pf_msg, list(_RMILTER_KEYS))
+        rwide = _kv_wide(non_pf_msg, rmilter_keys)
     else:
         rwide = None
-    for k in _PLAIN_KEYS:
+    for k in plain_keys:
         ser = wide[k]
         # a plain key never takes the angle form; drop accidental <..>
         ser = ser.where(~ser.str.startswith("<", na=False))
         if rwide is not None and k in _RMILTER_KEYS:
             ser = ser.fillna(rwide[k])
         out[k] = ser
-    out["status"] = rest.str.extract(r"(?:^|[,\s])status=(.*)$",
-                                     expand=True)[0]
+    if "status" in want:
+        out["status"] = rest.str.extract(r"(?:^|[,\s])status=(.*)$",
+                                         expand=True)[0]
 
-    is_bounce = (prog == "postfix/bounce").fillna(False)
-    out["message"] = rest.where(is_bounce)
-    has_kv = rest.str.contains(r"(?:^|[,\s])[A-Za-z-]+=", na=False)
-    out["msg"] = rest.where(is_postfix & ~is_bounce & ~has_kv
-                            & rest.notna() & (rest != ""))
+    if "message" in want:
+        is_bounce = (prog == "postfix/bounce").fillna(False)
+        out["message"] = rest.where(is_bounce)
+    if "msg" in want:
+        is_bounce = (prog == "postfix/bounce").fillna(False)
+        has_kv = rest.str.contains(r"(?:^|[,\s])[A-Za-z-]+=", na=False)
+        out["msg"] = rest.where(is_postfix & ~is_bounce & ~has_kv
+                                & rest.notna() & (rest != ""))
 
     queue_id = msg.str.extract(r"queue.?id:\s*<([^>]+)>",
                                expand=True)[0].where(~is_postfix)
-    out["queue_id"] = queue_id
-    out["raw_msg"] = msg.where(~is_postfix & prog_ok)
+    if "queue_id" in want:
+        out["queue_id"] = queue_id
+    if "raw_msg" in want:
+        out["raw_msg"] = msg.where(~is_postfix & prog_ok)
 
     out["qid"] = qid.fillna(queue_id)
 
@@ -211,7 +257,8 @@ def _grok_batch(pdf: pd.DataFrame, line_col: str, tz: str,
     out["reject_reason"] = reason
     # NaN → None on the generated string columns so Arrow emits proper
     # nulls (passenger columns keep their native dtypes untouched)
-    for c in ["host", "prog", "date", *PARSED_FIELDS, "reject_reason"]:
+    emitted = [f for f in PARSED_FIELDS if f in want]
+    for c in ["host", "prog", "date", *emitted, "reject_reason"]:
         col = out[c]
         out[c] = col.astype(object).where(col.notna(), None)
     return out
@@ -234,14 +281,18 @@ _QID_VALID_ARROW = r"^(?:[0-9A-Za-z]*\d[0-9A-Za-z]*|[0-9A-F]{6,})$"
 
 
 def _grok_arrow(batch, line_col: str, tz: str, now: dt.datetime,
-                out_names: list[str]):
+                out_names: list[str],
+                fields: Optional[list[str]] = None):
     """One RecordBatch through the grok grammar, all-Arrow kernels
     (plus the pandas date normalizer over the five tiny component
     columns). Semantically identical to :func:`_grok_batch` — pinned
-    by tests/test_grammar_differential.py."""
+    by tests/test_grammar_differential.py. ``fields`` limits which
+    PARSED_FIELDS are extracted (each key is its own RE2 pass over
+    ``rest``, so pruning is a direct per-key saving — guide §4.1)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    want = set(PARSED_FIELDS if fields is None else fields) | {"qid"}
     null_s = pa.scalar(None, pa.string())
     line = pc.coalesce(batch.column(line_col), "")
     env = pc.extract_regex(line, _ENV_ARROW)
@@ -269,33 +320,43 @@ def _grok_arrow(batch, line_col: str, tz: str, now: dt.datetime,
 
     cols: dict = {}
     for k in _ANGLE_KEYS:
+        if k not in want:
+            continue
         hit = pc.extract_regex(rest, rf"(?:^|[,\s]){k}=<(?P<v>[^>]*)>")
         cols[k] = pc.struct_field(hit, "v")
     msg_non_pf = pc.if_else(not_postfix, msg, null_s)
     for k in _PLAIN_KEYS:
+        if k not in want:
+            continue
         pat = rf"(?:^|[,\s]){k}=(?P<v>[^,\s]+)"
         v = pc.struct_field(pc.extract_regex(rest, pat), "v")
         if k in _RMILTER_KEYS:
             v = pc.coalesce(
                 v, pc.struct_field(pc.extract_regex(msg_non_pf, pat), "v"))
         cols[k] = v
-    cols["status"] = pc.struct_field(
-        pc.extract_regex(rest, r"(?:^|[,\s])status=(?P<v>.*)$"), "v")
+    if "status" in want:
+        cols["status"] = pc.struct_field(
+            pc.extract_regex(rest, r"(?:^|[,\s])status=(?P<v>.*)$"), "v")
 
     is_bounce = pc.coalesce(pc.equal(prog, "postfix/bounce"), False)
-    cols["message"] = pc.if_else(is_bounce, rest, null_s)
-    has_kv = pc.coalesce(
-        pc.match_substring_regex(rest, r"(?:^|[,\s])[A-Za-z-]+="), False)
-    msg_keep = pc.and_(
-        pc.and_(is_postfix, pc.invert(is_bounce)),
-        pc.and_(pc.invert(has_kv),
-                pc.coalesce(pc.not_equal(rest, ""), False)))
-    cols["msg"] = pc.if_else(msg_keep, rest, null_s)
+    if "message" in want:
+        cols["message"] = pc.if_else(is_bounce, rest, null_s)
+    if "msg" in want:
+        has_kv = pc.coalesce(
+            pc.match_substring_regex(rest, r"(?:^|[,\s])[A-Za-z-]+="), False)
+        msg_keep = pc.and_(
+            pc.and_(is_postfix, pc.invert(is_bounce)),
+            pc.and_(pc.invert(has_kv),
+                    pc.coalesce(pc.not_equal(rest, ""), False)))
+        cols["msg"] = pc.if_else(msg_keep, rest, null_s)
 
     queue_id = pc.struct_field(
         pc.extract_regex(msg_non_pf, r"queue.?id:\s*<(?P<v>[^>]+)>"), "v")
-    cols["queue_id"] = queue_id
-    cols["raw_msg"] = pc.if_else(pc.and_(not_postfix, prog_ok), msg, null_s)
+    if "queue_id" in want:
+        cols["queue_id"] = queue_id
+    if "raw_msg" in want:
+        cols["raw_msg"] = pc.if_else(
+            pc.and_(not_postfix, prog_ok), msg, null_s)
     cols["qid"] = pc.coalesce(qid, queue_id)
 
     dates = _normalize_dates(
@@ -313,7 +374,7 @@ def _grok_arrow(batch, line_col: str, tz: str, now: dt.datetime,
     out["host"] = host
     out["prog"] = prog
     out["date"] = pc.if_else(envelope_ok, date_arr, null_s)
-    out.update({k: cols[k] for k in PARSED_FIELDS})
+    out.update({k: cols[k] for k in PARSED_FIELDS if k in want})
     out["reject_reason"] = reject
     return pa.RecordBatch.from_arrays(
         [out[n] for n in out_names], names=out_names)
@@ -327,6 +388,7 @@ def parse_all(
     now: Optional[dt.datetime] = None,
     passengers: Optional[list[str]] = None,
     engine: str = "arrow",
+    fields: Optional[list[str]] = None,
 ) -> DataFrame:
     """Full grok over a raw-line DataFrame: selected passengers
     preserved, parsed columns + ``reject_reason`` added. Narrow; one
@@ -338,6 +400,13 @@ def parse_all(
     boundary and return — every byte of an unused passenger column is
     serialized twice, so callers should name only what downstream
     stages read (default: all input columns, test-friendly).
+
+    ``fields`` limits which PARSED_FIELDS are extracted and returned
+    (default: all — the pipeline's fold reads every field). Each kv
+    key costs its own regex pass over the message and its own column
+    across the Arrow boundary, so a caller that consumes a handful of
+    fields (the parse_grok driver query reads 5) should name them.
+    ``qid`` is always derived — the qid-presence rule needs it.
     """
     if now is None:
         now = dt.datetime.now()
@@ -346,13 +415,15 @@ def parse_all(
     in_cols = [line_col] + [c for c in passengers if c != line_col]
     lines = lines.select(*[F.col(f"`{c}`") for c in in_cols])
 
+    emit = [f for f in PARSED_FIELDS
+            if fields is None or f in set(fields) | {"qid"}]
     keep_fields = [f for f in lines.schema.fields if f.name in passengers]
     schema = StructType(
         keep_fields
         + [StructField("host", StringType()),
            StructField("prog", StringType()),
            StructField("date", StringType())]
-        + [StructField(f, StringType()) for f in PARSED_FIELDS]
+        + [StructField(f, StringType()) for f in emit]
         + [StructField("reject_reason", StringType())]
     )
     out_names = [f.name for f in schema.fields]
@@ -360,13 +431,14 @@ def parse_all(
     if engine == "arrow":
         def grok_arrow(batches):
             for b in batches:
-                yield _grok_arrow(b, line_col, tz, now, out_names)
+                yield _grok_arrow(b, line_col, tz, now, out_names,
+                                  fields=emit)
 
         return lines.mapInArrow(grok_arrow, schema)
 
     def grok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = _grok_batch(pdf, line_col, tz, now)
+            out = _grok_batch(pdf, line_col, tz, now, fields=emit)
             yield out[out_names]
 
     return lines.mapInPandas(grok, schema)
@@ -380,6 +452,7 @@ def parse_lines(
     now: Optional[dt.datetime] = None,
     require_qid: bool = True,
     passengers: Optional[list[str]] = None,
+    fields: Optional[list[str]] = None,
 ) -> ParseResult:
     """Raw-line DataFrame → (parsed, rejects).
 
@@ -391,7 +464,7 @@ def parse_lines(
     parsed lines.
     """
     all_rows = parse_all(lines, line_col=line_col, tz=tz, now=now,
-                         passengers=passengers)
+                         passengers=passengers, fields=fields)
     out_passengers = [c for c in all_rows.columns
                       if c in lines.columns and c != line_col]
 

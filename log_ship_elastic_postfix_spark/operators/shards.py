@@ -75,7 +75,15 @@ def write_training_shards(df: DataFrame, out_dir: str, *,
     is ever collected)."""
     docs = _with_order(df, id_col=id_col, seed=seed,
                        n_shards=n_shards)
-    (docs.repartition(n_shards, "shard")
+    # range-partition on shard so one write task ≈ one shard:
+    # hash-repartition(n_shards) placed shard k in partition
+    # hash(k) % n_shards — balls-in-bins, ~37 % of tasks empty and
+    # stragglers carrying 2-4 shards' sorts (VERDICT r5 #3). Range
+    # boundaries over the n_shards distinct values give each task a
+    # contiguous (usually singleton) shard run; correctness is
+    # untouched — partitionBy still splits directories and the
+    # within-partition sort keys on (shard, position).
+    (docs.repartitionByRange(n_shards, "shard")
      .sortWithinPartitions("shard", "position")
      .write.mode("overwrite").partitionBy("shard")
      .parquet(os.path.join(out_dir, "data")))
