@@ -488,7 +488,12 @@ def q_simhash_neardup(spark, sf_dir):
     unbounded-scale simhash path is the hamming≤n_tables−1 variant
     (pigeonhole guarantee, wide slices), pytest-covered in
     tests/test_dedup_similarity.py."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    # parallelize=False: the query keeps only 1000 docs — the blanket
+    # repartition would shuffle the whole table just to discard it;
+    # the pushed-down doc_id filter on the raw scan is cheaper, and
+    # the operator's own bucket exchanges spread the real work
+    d = (_t(spark, sf_dir, "documents", parallelize=False)
+         .filter(F.col("doc_id") < 1000))
     return (dedup.simhash_verified_near_duplicates(
         d, threshold=0.5, n_tables=8, broadcast_shingles=True)
         .orderBy("id_a", "id_b"))
@@ -881,7 +886,7 @@ def q_sample_split(spark, sf_dir):
     oracle restates the rule as the same md5-substring inequality."""
     from log_ship_elastic_postfix_spark.functions import redact
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", parallelize=False)
     return (d.select(
         "doc_id",
         redact.split_bucket(F.col("doc_id")).alias("bucket"),
@@ -948,7 +953,7 @@ def q_weighted_mix(spark, sf_dir):
     oracle restates every threshold as the same string inequality."""
     from log_ship_elastic_postfix_spark.operators import mixing
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", parallelize=False)
     out = mixing.weighted_sample(
         d, {"en": 1.0, "de": 0.5, "fr": 0.004, "es": 0.0},
         stratum_col="lang", default_frac=0.1)
@@ -963,7 +968,7 @@ def q_train_order(spark, sf_dir):
     so no engine-specific base conversion is involved."""
     from log_ship_elastic_postfix_spark.operators import mixing
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", parallelize=False)
     return (mixing.training_order(d, seed="42", n_shards=16)
             .orderBy("doc_id"))
 
@@ -1191,7 +1196,8 @@ def q_cross_source_dups(spark, sf_dir):
     cross_source_duplication) over documents + 50 planted copies
     under a 'planted' source: per source pair, exact-dup pairs
     spanning it (the pre-mixing overlap matrix)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d = (_t(spark, sf_dir, "documents", parallelize=False)
+         .select("doc_id", "text", "source"))
     planted = (d.filter(F.col("doc_id") < 50)
                .select((F.col("doc_id") + 100000).alias("doc_id"),
                        "text", F.lit("planted").alias("source")))
@@ -1209,7 +1215,8 @@ def q_incremental_dedup(spark, sf_dir):
     applied to webtext ingest. Hash is md5 of normalized text here so
     the oracle restates it; production default is xxhash64 (8-byte
     exchange). Exchanges carry only (hash, id); text never shuffles."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (_t(spark, sf_dir, "documents", parallelize=False)
+         .select("doc_id", "text"))
     h = F.md5(dedup.normalize_text(F.col("text")))
     committed = (d.filter(F.col("doc_id") % 7 == 0)
                  .select(h.alias("content_hash")))
@@ -1228,7 +1235,7 @@ def q_corpus_report(spark, sf_dir):
     (lib/logship.js:330-335) as a composition matrix."""
     from log_ship_elastic_postfix_spark.operators import report
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", parallelize=False)
     return (report.corpus_report(d)
             .orderBy("grouping_id", "source", "lang"))
 

@@ -197,7 +197,10 @@ def minhash_signature(text_col: Column, k: int = 32,
             out.append(vals.min(axis=1).tolist())
         return pd.Series(out, dtype=object)
 
-    return sig(text_col)
+    # non-deterministic marking stops the optimizer duplicating the
+    # kernel below pushed filters/generators (guide §4.4 — measured
+    # 4 ArrowEvalPython nodes for one call)
+    return sig.asNondeterministic()(text_col)
 
 
 def minhash_band_buckets(text_col: Column, k: int = 32,
@@ -244,7 +247,10 @@ def minhash_band_buckets(text_col: Column, k: int = 32,
             out.append(h.astype(np.int64).tolist())
         return pd.Series(out, dtype=object)
 
-    return sigb(text_col)
+    # non-deterministic marking stops the optimizer duplicating the
+    # kernel below pushed filters/generators (guide §4.4 — measured
+    # 4 ArrowEvalPython nodes for one call)
+    return sigb.asNondeterministic()(text_col)
 
 
 _BIT_POSITIONS = np.arange(64, dtype=np.uint64)
@@ -279,7 +285,10 @@ def simhash64(text_col: Column, n_shingle: int = 2) -> Column:
             out.append(packed)
         return pd.Series(out, dtype=object)
 
-    return sig(text_col)
+    # non-deterministic marking stops the optimizer duplicating the
+    # kernel below pushed filters/generators (guide §4.4 — measured
+    # 4 ArrowEvalPython nodes for one call)
+    return sig.asNondeterministic()(text_col)
 
 
 # ----------------------------------------------------------------- LSH
@@ -385,7 +394,10 @@ def _shingle_strings(text_col: Column, n: int) -> Column:
                 for i in range(len(toks) - n + 1))))
         return pd.Series(out, dtype=object)
 
-    return sh(text_col)
+    # non-deterministic marking stops the optimizer duplicating the
+    # kernel below pushed filters/generators (guide §4.4 — measured
+    # 4 ArrowEvalPython nodes for one call)
+    return sh.asNondeterministic()(text_col)
 
 
 def jaccard_pairs(
@@ -762,7 +774,10 @@ def _gram_hashes64(text_col: Column, n: int) -> Column:
                 (lo | (hi << np.uint64(32))).astype(np.int64)).tolist())
         return pd.Series(out, dtype=object)
 
-    return gh(text_col)
+    # non-deterministic marking stops the optimizer duplicating the
+    # kernel below pushed filters/generators (guide §4.4 — measured
+    # 4 ArrowEvalPython nodes for one call)
+    return gh.asNondeterministic()(text_col)
 
 
 def benchmark_contamination(

@@ -73,8 +73,6 @@ def write_training_shards(df: DataFrame, out_dir: str, *,
     """Write the shard layout + manifest; returns bounded totals
     ``{"n_docs", "n_shards"}`` (driver metadata only — no row data
     is ever collected)."""
-    docs = _with_order(df, id_col=id_col, seed=seed,
-                       n_shards=n_shards)
     # range-partition on shard so one write task ≈ one shard:
     # hash-repartition(n_shards) placed shard k in partition
     # hash(k) % n_shards — balls-in-bins, ~37 % of tasks empty and
@@ -82,11 +80,19 @@ def write_training_shards(df: DataFrame, out_dir: str, *,
     # boundaries over the n_shards distinct values give each task a
     # contiguous (usually singleton) shard run; correctness is
     # untouched — partitionBy still splits directories and the
-    # within-partition sort keys on (shard, position).
-    (docs.repartitionByRange(n_shards, "shard")
-     .sortWithinPartitions("shard", "position")
-     .write.mode("overwrite").partitionBy("shard")
-     .parquet(os.path.join(out_dir, "data")))
+    # within-partition sort keys on (shard, position). The persist
+    # bounds the range sampler: it would otherwise re-run the whole
+    # order join as its boundary-sampling pass (batch-scoped,
+    # released in finally — the write reads the materialized frame).
+    docs = _with_order(df, id_col=id_col, seed=seed,
+                       n_shards=n_shards).persist()
+    try:
+        (docs.repartitionByRange(n_shards, "shard")
+         .sortWithinPartitions("shard", "position")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(out_dir, "data")))
+    finally:
+        docs.unpersist()
     written = docs.sparkSession.read.parquet(
         os.path.join(out_dir, "data"))
     man = _manifest(written, text_col=text_col)

@@ -71,7 +71,9 @@ def _cosine_batch(a: Column, b: Column) -> Column:
         with np.errstate(divide="ignore", invalid="ignore"):
             return pd.Series(np.where(denom > 0, dot / denom, 0.0))
 
-    return cos(a, b)
+    # asNondeterministic: callers filter on the rounded score; the
+    # pushed filter would otherwise evaluate the kernel twice (§4.4)
+    return cos.asNondeterministic()(a, b)
 
 
 def brute_force_topk(
@@ -166,8 +168,11 @@ def lsh_sign_buckets(
         vals = (signs * weights[None, None, :]).sum(axis=2)  # (n, T)
         return pd.Series(vals.tolist())
 
+    # asNondeterministic: stop generator/filter pushdown from
+    # duplicating the sign kernel (guide §4.4)
     return (df.select(F.col(id_col),
-                      F.posexplode(buckets(F.col(vec_col)))
+                      F.posexplode(
+                          buckets.asNondeterministic()(F.col(vec_col)))
                       .alias("tbl", "bucket"))
             .select(id_col, "tbl", "bucket"))
 
