@@ -170,6 +170,20 @@ _SHINGLE_COEF = np.array([2654435761 % _MERSENNE31,
                           0x27D4EB2F % _MERSENNE31], dtype=np.int64)
 
 
+def _coef(n: int) -> np.ndarray:
+    """First ``n`` window-mix coefficients — the published five, then
+    a deterministic (c·31 + 17) mod p extension for wider grams (the
+    simhash hi-lane derivation rule). The r6 gram-hash kernel first
+    shipped with a bare ``_SHINGLE_COEF[:n]`` slice, which silently
+    truncates to 5 and then INDEXES OUT OF BOUNDS for the operator's
+    own n=8 default — caught by scripts/dedup_bench.py's 8-gram run
+    (the driver query uses n=5, so the oracle never exercised it)."""
+    base = list(_SHINGLE_COEF)
+    while len(base) < n:
+        base.append(int(base[-1] * 31 + 17) % _MERSENNE31)
+    return np.array(base[:n], dtype=np.int64)
+
+
 def minhash_signature(text_col: Column, k: int = 32,
                       n_shingle: int = 3) -> Column:
     """k minhash values over word n-gram shingles (one Arrow batch
@@ -181,7 +195,7 @@ def minhash_signature(text_col: Column, k: int = 32,
                   for i in range(k)], dtype=np.int64)
     b = np.array([(i * 0x9E3779B1 + 0x5BD1E995) % _MERSENNE31
                   for i in range(k)], dtype=np.int64)
-    coef = _SHINGLE_COEF[:n_shingle].copy()
+    coef = _coef(n_shingle)
 
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
@@ -225,7 +239,7 @@ def minhash_band_buckets(text_col: Column, k: int = 32,
                   for i in range(k)], dtype=np.int64)
     b = np.array([(i * 0x9E3779B1 + 0x5BD1E995) % _MERSENNE31
                   for i in range(k)], dtype=np.int64)
-    coef = _SHINGLE_COEF[:n_shingle].copy()
+    coef = _coef(n_shingle)
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     @pandas_udf("array<long>")
@@ -262,7 +276,7 @@ def simhash64(text_col: Column, n_shingle: int = 2) -> Column:
     64-bit shingle hashes (two independent 31-bit window mixes packed
     high/low), one numpy pass per Arrow batch. Documents too short to
     shingle return NULL (see module docstring)."""
-    coef_lo = _SHINGLE_COEF[:n_shingle].copy()
+    coef_lo = _coef(n_shingle)
     coef_hi = np.array([(c * 31 + 17) % _MERSENNE31 for c in coef_lo],
                        dtype=np.int64)
 
@@ -754,7 +768,7 @@ def _gram_hashes64(text_col: Column, n: int) -> Column:
     :func:`minhash_signature` (lowercase whitespace split); the
     64-bit space keeps corpus-scale collision odds negligible, the
     same contract the xxhash64 form relied on."""
-    coef_lo = _SHINGLE_COEF[:n].copy()
+    coef_lo = _coef(n)
     coef_hi = np.array([(c * 31 + 17) % _MERSENNE31 for c in coef_lo],
                        dtype=np.int64)
 

@@ -52,20 +52,26 @@ def test_minhash_band_buckets_collide_iff_band_equal(spark):
 def test_gram_hashes_match_shingle_semantics(spark):
     """_gram_hashes64 emits one hash per DISTINCT word n-gram — the
     count must equal the JVM shingle expression's distinct-gram count
-    for every doc (the quantity decontamination joins on)."""
+    for every doc (the quantity decontamination joins on). n=8 is the
+    operator's own default and needs the coefficient extension beyond
+    the published five (it crashed before _coef — caught by the
+    8-gram dedup_bench run)."""
     from log_ship_elastic_postfix_spark.operators import dedup
 
+    long_doc = " ".join(f"w{i % 11}" for i in range(30))
     df = spark.createDataFrame(
         [(1, "a b c a b c a b"), (2, "x  y\tz  x y"), (3, ""),
-         (4, "one two"), (5, "ONE two THREE four one TWO three FOUR")],
+         (4, "one two"), (5, "ONE two THREE four one TWO three FOUR"),
+         (6, long_doc)],
         ["doc_id", "text"])
-    got = (df.select(
-        "doc_id",
-        F.size(dedup._gram_hashes64(F.col("text"), 3)).alias("n_hash"),
-        F.size(dedup.shingles(F.col("text"), 3)).alias("n_gram"))
-        .orderBy("doc_id").collect())
-    for r in got:
-        assert r["n_hash"] == r["n_gram"], r
+    for n in (3, 8):
+        got = (df.select(
+            "doc_id",
+            F.size(dedup._gram_hashes64(F.col("text"), n)).alias("n_hash"),
+            F.size(dedup.shingles(F.col("text"), n)).alias("n_gram"))
+            .orderBy("doc_id").collect())
+        for r in got:
+            assert r["n_hash"] == r["n_gram"], (n, r)
 
 
 def test_shingle_strings_equal_jvm_shingles(spark):
