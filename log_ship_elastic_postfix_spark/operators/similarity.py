@@ -43,6 +43,22 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _null_safe(vecs: list, dim: int | None = None) -> list:
+    """Replace NULL vectors with zero vectors of the batch's dim —
+    reproducing the JVM expression's null semantics exactly: a null
+    input drove `when(denom > 0, …)` to its 0.0 branch, and a zero
+    vector lands in the same branch (denom 0). Without this the numpy
+    batch constructor would raise where the expression returned 0.0.
+    ``dim`` covers the all-null batch (a small partition can hold only
+    null rows; the batch then has no vector to infer the width from)."""
+    if all(v is not None for v in vecs):
+        return vecs
+    if dim is None:
+        dim = next((len(v) for v in vecs if v is not None), 1)
+    zero = [0.0] * dim
+    return [zero if v is None else v for v in vecs]
+
+
 def _cosine_batch(a: Column, b: Column) -> Column:
     """Arrow-vectorized cosine, BIT-IDENTICAL to :func:`cosine`: the
     per-dimension accumulation loops replay the JVM aggregate's
@@ -58,8 +74,10 @@ def _cosine_batch(a: Column, b: Column) -> Column:
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        ma = np.array(va.tolist(), dtype=np.float64)
-        mb = np.array(vb.tolist(), dtype=np.float64)
+        la, lb = va.tolist(), vb.tolist()
+        dim = next((len(v) for v in la + lb if v is not None), 1)
+        ma = np.array(_null_safe(la, dim), dtype=np.float64)
+        mb = np.array(_null_safe(lb, dim), dtype=np.float64)
         dot = np.zeros(len(ma))
         na = np.zeros(len(ma))
         nb = np.zeros(len(ma))
@@ -162,7 +180,8 @@ def lsh_sign_buckets(
     def buckets(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        mat = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        mat = np.array(_null_safe(vecs.tolist(), dim),
+                       dtype=np.float64)
         signs = (mat @ planes >= 0).astype(np.int64)     # (n, T*B)
         signs = signs.reshape(len(mat), n_tables, n_bits)
         vals = (signs * weights[None, None, :]).sum(axis=2)  # (n, T)
@@ -300,7 +319,7 @@ def ivf_topk(
         def assign(vecs: pd.Series) -> pd.Series:
             if len(vecs) == 0:
                 return pd.Series([], dtype=object)
-            mat = np.array(vecs.tolist(), dtype=np.float64)
+            mat = np.array(_null_safe(vecs.tolist()), dtype=np.float64)
             mat = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mat @ cmat.T                      # (n, C)
@@ -497,8 +516,10 @@ def semantic_dedup(
         b = pdf[pdf["_side"] == 1]
         if a.empty or b.empty:
             return pd.DataFrame({"_d": pd.Series([], dtype="object")})
-        ma = np.array(a["_v"].tolist(), dtype=np.float64)
-        mb = np.array(b["_v"].tolist(), dtype=np.float64)
+        la, lb = a["_v"].tolist(), b["_v"].tolist()
+        d_ = next((len(v) for v in la + lb if v is not None), 1)
+        ma = np.array(_null_safe(la, d_), dtype=np.float64)
+        mb = np.array(_null_safe(lb, d_), dtype=np.float64)
         na = a["_nv"].to_numpy(dtype=np.float64)
         nb = b["_nv"].to_numpy(dtype=np.float64)
         ida = a["_id"].to_numpy()

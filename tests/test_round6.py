@@ -110,3 +110,24 @@ def test_normalize_dates_memo_matches_impl():
     a = _normalize_dates(mon, day, hh, mi, ss, "America/Phoenix", now)
     b = _normalize_dates_impl(mon, day, hh, mi, ss, "America/Phoenix", now)
     assert list(a.fillna("~")) == list(b.fillna("~"))
+
+
+def test_null_vector_rows_score_zero_not_crash(spark):
+    """A NULL embedding must reproduce the old expression semantics
+    (score 0.0 branch) instead of crashing the batch kernel."""
+    from log_ship_elastic_postfix_spark.operators import similarity
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, None), (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_near_duplicates(
+        df, dim=4, threshold=0.9, n_tables=4, n_bits=2).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs          # the identical pair survives
+    assert all(2 not in p for p in pairs)  # null vector never matches
+
+    sem = similarity.semantic_dedup(
+        df, centroids=[(0, [1.0, 0.0, 0.0, 0.0])], threshold=0.9,
+        n_blocks=2).collect()
+    got = {r["vec_id"]: r["dropped"] for r in sem}
+    assert got[1] is True and got[2] is False
