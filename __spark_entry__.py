@@ -494,8 +494,11 @@ def q_simhash_neardup(spark, sf_dir):
     # the operator's own bucket exchanges spread the real work
     d = (_t(spark, sf_dir, "documents", parallelize=False)
          .filter(F.col("doc_id") < 1000))
+    # restrict_to_candidates=False: this corpus is already capped at
+    # 1000 docs, so the verify's candidate semi-join is pure overhead
     return (dedup.simhash_verified_near_duplicates(
-        d, threshold=0.5, n_tables=8, broadcast_shingles=True)
+        d, threshold=0.5, n_tables=8, broadcast_shingles=True,
+        restrict_to_candidates=False)
         .orderBy("id_a", "id_b"))
 
 

@@ -418,6 +418,7 @@ def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, *, text_col: str = "text",
     id_col: str = "doc_id", n_shingle: int = 3, threshold: float = 0.7,
     broadcast_shingles: bool = False,
+    restrict_to_candidates: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs.
 
@@ -446,13 +447,15 @@ def jaccard_pairs(
     over every document — the measured majority of the whole near-dup
     query. The id semi-join is exchange-cheap (candidate ids are a
     checkpointed two-long frame; AQE broadcasts it when small)."""
-    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
-                .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-                .distinct())
-    sh = (df.join(cand_ids, id_col, "left_semi")
-          .select(F.col(id_col),
-                  _shingle_strings(F.col(text_col), n_shingle)
-                  .alias("sh"))).persist()
+    base = df
+    if restrict_to_candidates:
+        cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                    .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+                    .distinct())
+        base = df.join(cand_ids, id_col, "left_semi")
+    sh = (base.select(F.col(id_col),
+                      _shingle_strings(F.col(text_col), n_shingle)
+                      .alias("sh"))).persist()
     try:
         a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -681,17 +684,24 @@ def simhash_verified_near_duplicates(
     threshold: float = 0.5,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
     broadcast_shingles: bool = False,
+    restrict_to_candidates: bool = True,
 ) -> DataFrame:
     """Production simhash path: simhash-slice candidates → exact
     n-gram Jaccard verification (same verifier as the minhash path,
     so the two candidate generators are directly comparable and both
-    oracle-checkable against the exact all-pairs set)."""
+    oracle-checkable against the exact all-pairs set).
+
+    ``restrict_to_candidates=False`` skips the verify's candidate-id
+    semi-join — the right call when the caller's corpus is already
+    candidate-sized (a pre-capped demo slice), where the restriction
+    machinery is pure overhead; at scale leave it on."""
     cand = simhash_candidates(
         df, text_col=text_col, id_col=id_col, n_shingle=n_shingle_sim,
         n_tables=n_tables, max_bucket_size=max_bucket_size)
     return jaccard_pairs(df, cand, text_col=text_col, id_col=id_col,
                          n_shingle=n_shingle_jac, threshold=threshold,
-                         broadcast_shingles=broadcast_shingles)
+                         broadcast_shingles=broadcast_shingles,
+                         restrict_to_candidates=restrict_to_candidates)
 
 
 # ------------------------------------------------ line-level dedup
